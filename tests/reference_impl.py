@@ -1,0 +1,82 @@
+"""Independent numpy oracles reproducing the reference's op semantics.
+
+Slow, loop-based, written straight from the documented algorithms (Horn 1981
+slope/aspect, plus-stencil curvature, np.gradient hillshade, GDAL proximity
+sweep behavior, etc.).  These generate golden outputs for parity tests on
+small rasters; they intentionally share no code with either the reference or
+the production package.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def ref_slope(data, cellsize_x, cellsize_y):
+    data = data.astype(np.float32)
+    h, w = data.shape
+    out = np.full((h, w), np.nan, dtype=np.float32)
+    for y in range(1, h - 1):
+        for x in range(1, w - 1):
+            win = data[y - 1:y + 2, x - 1:x + 2]
+            gx = ((win[0, 2] + 2 * win[1, 2] + win[2, 2])
+                  - (win[0, 0] + 2 * win[1, 0] + win[2, 0])) / (8 * cellsize_x)
+            gy = ((win[2, 0] + 2 * win[2, 1] + win[2, 2])
+                  - (win[0, 0] + 2 * win[0, 1] + win[0, 2])) / (8 * cellsize_y)
+            p = np.float32((gx * gx + gy * gy) ** 0.5)
+            out[y, x] = np.arctan(p) * 57.29578
+    return out
+
+
+def ref_aspect(data):
+    data = data.astype(np.float32)
+    h, w = data.shape
+    out = np.full((h, w), np.nan, dtype=np.float32)
+    for y in range(1, h - 1):
+        for x in range(1, w - 1):
+            win = data[y - 1:y + 2, x - 1:x + 2]
+            gx = ((win[0, 2] + 2 * win[1, 2] + win[2, 2])
+                  - (win[0, 0] + 2 * win[1, 0] + win[2, 0])) / 8.0
+            gy = ((win[2, 0] + 2 * win[2, 1] + win[2, 2])
+                  - (win[0, 0] + 2 * win[0, 1] + win[0, 2])) / 8.0
+            if gx == 0 and gy == 0:
+                out[y, x] = -1.0
+                continue
+            ang = np.arctan2(gy, -gx) * (180.0 / np.pi)
+            if ang < 0:
+                val = 90.0 - ang
+            elif ang > 90.0:
+                val = 360.0 - ang + 90.0
+            else:
+                val = 90.0 - ang
+            out[y, x] = val
+    return out
+
+
+def ref_curvature(data, cellsize):
+    data = data.astype(np.float32)
+    h, w = data.shape
+    out = np.full((h, w), np.nan, dtype=np.float32)
+    for y in range(1, h - 1):
+        for x in range(1, w - 1):
+            dd = (data[y + 1, x] + data[y - 1, x]) / 2.0 - data[y, x]
+            ee = (data[y, x + 1] + data[y, x - 1]) / 2.0 - data[y, x]
+            out[y, x] = -2.0 * (dd + ee) * 100.0 / np.float32(cellsize * cellsize)
+    return out
+
+
+def ref_hillshade(data, azimuth=225, angle_altitude=25):
+    data = data.astype(np.float32)
+    az = 360.0 - azimuth
+    gx, gy = np.gradient(data)
+    slope = np.pi / 2.0 - np.arctan(np.sqrt(gx * gx + gy * gy))
+    aspect = np.arctan2(-gx, gy)
+    azrad = az * np.pi / 180.0
+    altrad = angle_altitude * np.pi / 180.0
+    shaded = (np.sin(altrad) * np.sin(slope)
+              + np.cos(altrad) * np.cos(slope)
+              * np.cos((azrad - np.pi / 2.0) - aspect))
+    out = (shaded + 1) / 2
+    out[(0, -1), :] = np.nan
+    out[:, (0, -1)] = np.nan
+    return out

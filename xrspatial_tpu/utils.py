@@ -1,0 +1,327 @@
+"""Shared helpers: resolution/unit inference, validation, JAX adapters.
+
+TPU-native counterpart of the reference's ``xrspatial/utils.py``.  The
+reference's 4-way numpy/cupy/dask backend dispatch
+(``ArrayTypeFunctionMapping``, utils.py:117-143) collapses here to a single
+JAX path: every op coerces ``agg.data`` to a ``jax.Array``, runs a jitted/
+Pallas program, and re-wraps with the input's coords/dims/attrs.
+
+Behavioral-parity helpers (resolution, unit heuristics, Web-Mercator
+projection, lat/lon extraction) mirror reference semantics at
+utils.py:168-330 and utils.py:455-714.
+"""
+
+from __future__ import annotations
+
+import warnings
+from typing import Optional, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .xrlib import DataArray
+
+__all__ = [
+    "get_dataarray_resolution",
+    "calc_res",
+    "get_xy_range",
+    "validate_arrays",
+    "lnglat_to_meters",
+    "height_implied_by_aspect_ratio",
+    "Z_UNITS",
+    "warn_if_unit_mismatch",
+    "to_jax",
+    "wrap_like",
+    "nan_border",
+]
+
+
+# ---------------------------------------------------------------------------
+# Geometry / resolution (reference: utils.py:168-277)
+# ---------------------------------------------------------------------------
+
+def get_xy_range(raster, xdim=None, ydim=None):
+    """(xmin, xmax), (ymin, ymax) from the raster's dim coordinates."""
+    if ydim is None:
+        ydim = raster.dims[-2]
+    if xdim is None:
+        xdim = raster.dims[-1]
+    xvals = np.asarray(raster[xdim].data)
+    yvals = np.asarray(raster[ydim].data)
+    return (float(xvals.min()), float(xvals.max())), \
+           (float(yvals.min()), float(yvals.max()))
+
+
+def calc_res(raster, xdim=None, ydim=None):
+    """(xres, yres) derived from coordinate extents (endpoint spacing)."""
+    h, w = raster.shape[-2:]
+    (xmin, xmax), (ymin, ymax) = get_xy_range(raster, xdim, ydim)
+    return (xmax - xmin) / (w - 1), (ymax - ymin) / (h - 1)
+
+
+def get_dataarray_resolution(agg, xdim: Optional[str] = None,
+                             ydim: Optional[str] = None):
+    """Cell size (x, y): prefer the ``res`` attr, else derive from coords.
+
+    Matches reference utils.py:233-277: ``res`` may be a scalar or a
+    2-sequence; anything malformed falls back to coordinate spacing.
+    """
+    try:
+        cellsize = agg.attrs.get("res")
+        if (isinstance(cellsize, (tuple, list, np.ndarray))
+                and len(cellsize) == 2
+                and isinstance(cellsize[0], (int, float))
+                and isinstance(cellsize[1], (int, float))):
+            return cellsize[0], cellsize[1]
+        if isinstance(cellsize, (int, float)):
+            return cellsize, cellsize
+        return calc_res(agg, xdim, ydim)
+    except Exception:
+        return calc_res(agg, xdim, ydim)
+
+
+def lnglat_to_meters(longitude, latitude):
+    """Project (longitude, latitude) to Web Mercator meters.
+
+    Reference: utils.py:280-330.
+    """
+    if isinstance(longitude, (list, tuple)):
+        longitude = np.array(longitude)
+    if isinstance(latitude, (list, tuple)):
+        latitude = np.array(latitude)
+    shift = np.pi * 6378137
+    easting = longitude * shift / 180.0
+    northing = np.log(np.tan((90 + latitude) * np.pi / 360.0)) * shift / np.pi
+    return easting, northing
+
+
+def height_implied_by_aspect_ratio(W: int, X, Y) -> int:
+    """Height (pixels) implied by width + x/y ranges at equal aspect."""
+    return int(W * (Y[1] - Y[0]) / (X[1] - X[0]))
+
+
+def validate_arrays(*arrays):
+    """Check that all input DataArrays share shape (reference utils.py:146-165).
+
+    The reference also enforced same backend array type and aligned dask
+    chunks; with a single JAX backend only the shape check remains.
+    """
+    if len(arrays) < 2:
+        raise ValueError("validate_arrays() input must contain 2 or more arrays")
+    first = arrays[0]
+    for other in arrays[1:]:
+        if tuple(first.data.shape) != tuple(other.data.shape):
+            raise ValueError("input arrays must have equal shapes")
+
+
+# ---------------------------------------------------------------------------
+# Unit heuristics (reference: utils.py:455-599)
+# ---------------------------------------------------------------------------
+
+_LINEAR_UNITS = (
+    "m", "meter", "metre", "meters", "metres",
+    "km", "kilometer", "kilometre", "kilometers", "kilometres",
+    "ft", "foot", "feet",
+)
+
+Z_UNITS = {
+    'meter': 1.0, 'meters': 1.0, 'm': 1.0,
+    'foot': 0.3048, 'feet': 0.3048, 'ft': 0.3048,
+    'kilometer': 1000.0, 'kilometers': 1000.0, 'km': 1000.0,
+    'mile': 1609.344, 'miles': 1609.344, 'mi': 1609.344,
+}
+
+
+def _infer_coord_unit_type(coord, cellsize: float) -> str:
+    """Classify a coordinate axis as 'degrees' | 'linear' | 'unknown'."""
+    units = str(coord.attrs.get("units", "")).lower()
+    if "degree" in units or units in ("deg", "degrees"):
+        return "degrees"
+    if units in _LINEAR_UNITS:
+        return "linear"
+
+    vals = np.asarray(coord.data)
+    if vals.size < 2 or not np.issubdtype(vals.dtype, np.number):
+        return "unknown"
+    vmin, vmax = float(np.nanmin(vals)), float(np.nanmax(vals))
+    span, dx = abs(vmax - vmin), abs(float(cellsize))
+    if -360.0 <= vmin <= 360.0 and -360.0 <= vmax <= 360.0 and 1e-5 <= dx <= 0.5:
+        return "degrees"
+    if span > 1000.0 and dx >= 0.1:
+        return "linear"
+    return "unknown"
+
+
+def _sample_windows_min_max(data, max_window_elems: int = 65536,
+                            windows: int = 5) -> Tuple[float, float]:
+    """Sampled min/max from a few windows, never a full pass.
+
+    Reference: utils.py:731 (same intent — cheap bound estimates).
+    """
+    arr = np.asarray(data)
+    flat = arr.reshape(-1)
+    n = flat.size
+    if n == 0:
+        return np.nan, np.nan
+    win = min(max_window_elems, n)
+    starts = np.linspace(0, max(n - win, 0), num=max(windows, 1)).astype(np.int64)
+    vmin, vmax = np.inf, -np.inf
+    for s in starts:
+        chunk = flat[s:s + win]
+        finite = chunk[np.isfinite(chunk)] if chunk.dtype.kind == "f" else chunk
+        if finite.size:
+            vmin = min(vmin, float(finite.min()))
+            vmax = max(vmax, float(finite.max()))
+    if vmin is np.inf:
+        return np.nan, np.nan
+    return vmin, vmax
+
+
+def _infer_vertical_unit_type(agg) -> str:
+    units = str(agg.attrs.get("units", "")).lower()
+    if any(k in units for k in ("degree", "deg")) or "rad" in units:
+        return "angle"
+    if units in _LINEAR_UNITS:
+        return "elevation"
+    try:
+        vmin, vmax = _sample_windows_min_max(agg.data)
+    except Exception:
+        return "unknown"
+    if not (np.isfinite(vmin) and np.isfinite(vmax)):
+        return "unknown"
+    span = vmax - vmin
+    if 10.0 <= span <= 20000.0 and vmin > -500.0:
+        return "elevation"
+    if -360.0 <= vmin <= 360.0 and -360.0 <= vmax <= 360.0 and span <= 720.0:
+        return "angle"
+    return "unknown"
+
+
+def warn_if_unit_mismatch(agg) -> None:
+    """Warn when coordinates look like degrees but elevations look linear.
+
+    Reference: utils.py:540-590.
+    """
+    try:
+        cellsize_x, cellsize_y = get_dataarray_resolution(agg)
+    except Exception:
+        return
+    if len(agg.dims) < 2:
+        return
+    dim_y, dim_x = agg.dims[-2], agg.dims[-1]
+    coord_x = agg.coords.get(dim_x) if hasattr(agg.coords, "get") else None
+    coord_y = agg.coords.get(dim_y) if hasattr(agg.coords, "get") else None
+    if coord_x is None and dim_x in agg.coords:
+        coord_x = agg.coords[dim_x]
+    if coord_y is None and dim_y in agg.coords:
+        coord_y = agg.coords[dim_y]
+    if coord_x is None or coord_y is None:
+        return
+    horiz = {_infer_coord_unit_type(coord_x, cellsize_x),
+             _infer_coord_unit_type(coord_y, cellsize_y)} - {"unknown"}
+    vert = _infer_vertical_unit_type(agg)
+    if not horiz or vert == "unknown":
+        return
+    if "degrees" in horiz and vert == "elevation":
+        warnings.warn(
+            "input DataArray appears to have coordinates in degrees but "
+            "elevation values in a linear unit (e.g. meters/feet). "
+            "Slope/aspect operations expect horizontal distances in the same "
+            "units as vertical. Consider reprojecting to a projected CRS "
+            "with meter-based coordinates.",
+            UserWarning,
+        )
+
+
+# ---------------------------------------------------------------------------
+# Lat/lon extraction for geodesic methods (reference: utils.py:602-714)
+# ---------------------------------------------------------------------------
+
+_LAT_NAMES = {"lat", "latitude", "y"}
+_LON_NAMES = {"lon", "longitude", "x"}
+
+
+def _find_coord(agg, dim_name, known_names, label):
+    if dim_name in agg.coords:
+        coord = agg.coords[dim_name]
+        if np.issubdtype(np.asarray(coord.data).dtype, np.number):
+            return coord
+    for name in agg.coords:
+        if str(name).lower() in known_names:
+            coord = agg.coords[name]
+            if np.issubdtype(np.asarray(coord.data).dtype, np.number):
+                return coord
+    raise ValueError(
+        f"geodesic method requires a numeric {label} coordinate; "
+        f"none found among {list(agg.coords)}")
+
+
+def _validate_geographic_range(lat_2d, lon_2d):
+    if np.nanmin(lat_2d) < -90.0 or np.nanmax(lat_2d) > 90.0:
+        raise ValueError("latitude values must be within [-90, 90] degrees")
+    if np.nanmin(lon_2d) < -180.0 or np.nanmax(lon_2d) > 360.0:
+        raise ValueError("longitude values must be within [-180, 360] degrees")
+
+
+def _extract_latlon_coords(agg):
+    """2-D float64 (lat, lon) grids from 1-D or 2-D coordinates."""
+    if agg.ndim < 2:
+        raise ValueError(
+            f"geodesic method requires a 2-D DataArray, got {agg.ndim}-D")
+    dim_y, dim_x = agg.dims[-2], agg.dims[-1]
+    lat_vals = np.asarray(_find_coord(agg, dim_y, _LAT_NAMES, "latitude").data,
+                          dtype=np.float64)
+    lon_vals = np.asarray(_find_coord(agg, dim_x, _LON_NAMES, "longitude").data,
+                          dtype=np.float64)
+    h, w = agg.shape[-2], agg.shape[-1]
+    if lat_vals.ndim == 1 and lon_vals.ndim == 1:
+        lat_2d = np.broadcast_to(lat_vals[:, None], (h, w)).copy()
+        lon_2d = np.broadcast_to(lon_vals[None, :], (h, w)).copy()
+    elif lat_vals.ndim == 2 and lon_vals.ndim == 2:
+        lat_2d, lon_2d = lat_vals, lon_vals
+    else:
+        raise ValueError(
+            f"lat/lon coordinates must be both 1-D or both 2-D, "
+            f"got lat={lat_vals.ndim}-D and lon={lon_vals.ndim}-D")
+    _validate_geographic_range(lat_2d, lon_2d)
+    return lat_2d, lon_2d
+
+
+# ---------------------------------------------------------------------------
+# JAX adapters — the single-backend replacement for ArrayTypeFunctionMapping
+# ---------------------------------------------------------------------------
+
+def to_jax(agg, dtype=jnp.float32) -> jax.Array:
+    """Coerce a DataArray's payload to a device array of `dtype`."""
+    data = agg.data if isinstance(agg, DataArray) else agg
+    arr = jnp.asarray(data)
+    if dtype is not None and arr.dtype != dtype:
+        arr = arr.astype(dtype)
+    return arr
+
+
+def wrap_like(agg, out, name: Optional[str] = None) -> DataArray:
+    """Wrap an output array with the input's coords/dims/attrs.
+
+    The universal output contract of every reference op (e.g.
+    slope.py:367-371, aspect.py:384-388).
+    """
+    return DataArray(out, name=name, coords=agg.coords, dims=agg.dims,
+                     attrs=agg.attrs)
+
+
+def nan_border(arr: jax.Array, radius: int = 1) -> jax.Array:
+    """Set a `radius`-wide border to NaN (stencil edge contract).
+
+    Reference contract: slope.py:59-61, hillshade.py:33-34,
+    convolution.py:297-298.
+    """
+    if radius <= 0:
+        return arr
+    h, w = arr.shape[-2], arr.shape[-1]
+    rows = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
+    interior = ((rows >= radius) & (rows < h - radius)
+                & (cols >= radius) & (cols < w - radius))
+    return jnp.where(interior, arr, jnp.nan)
