@@ -7,12 +7,20 @@ platform exercises the same shard_map + ppermute halo paths a real pod would.
 
 import os
 
-# Must happen before jax is imported anywhere.
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# The ambient environment may point JAX_PLATFORMS at a real TPU (an "axon"
+# tunnel registered by sitecustomize, which imports jax before any test code
+# runs).  Tests run on the virtual multi-device CPU platform unless opted
+# out — applied via jax.config because the env var was already consumed at
+# interpreter start.
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (
         _flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+if os.environ.get("XRSPATIAL_TEST_ON_TPU") != "1":
+    jax.config.update("jax_platforms", "cpu")
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

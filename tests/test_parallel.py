@@ -1,0 +1,94 @@
+"""Distributed (mesh-sharded) execution parity tests.
+
+Runs on the conftest-forced 8-device virtual CPU platform: sharding an
+8x6 raster over a 2x2 (or 4x2) mesh exercises the same ppermute halo paths
+a real pod would, mirroring the reference's (3,3)-chunk dask trick
+(general_checks.py:30-61).
+"""
+
+import jax
+import numpy as np
+import pytest
+
+from general_checks import create_test_raster
+from reference_impl import ref_aspect, ref_curvature, ref_hillshade, ref_slope
+
+from xrspatial_tpu import aspect, curvature, hillshade, slope
+from xrspatial_tpu.parallel import distribute, make_raster_mesh
+
+
+@pytest.fixture(params=[(2, 2), (4, 2), (1, 8)])
+def mesh(request):
+    ny, nx = request.param
+    return make_raster_mesh(ny, nx)
+
+
+def _sharded_raster(data, mesh, **kw):
+    agg = create_test_raster(data, **kw)
+    agg.data = distribute(agg.data, mesh)
+    return agg
+
+
+def test_mesh_construction():
+    m = make_raster_mesh()
+    assert m.devices.size == len(jax.devices())
+    assert m.axis_names == ("y", "x")
+
+
+def test_sharded_slope_parity(elevation_raster, mesh):
+    agg = _sharded_raster(elevation_raster, mesh)
+    out = np.asarray(slope(agg).data)
+    np.testing.assert_allclose(out, ref_slope(elevation_raster, 0.5, 0.5),
+                               equal_nan=True, rtol=1e-6)
+
+
+def test_sharded_slope_large_uneven(mesh):
+    # x dim (53) divides no mesh factor: exercises NaN-pad-and-crop while
+    # y stays genuinely sharded
+    rng = np.random.default_rng(5)
+    data = (rng.random((36, 53)) * 100).astype(np.float32)
+    agg = _sharded_raster(data, mesh, attrs={"res": (2, 2)})
+    out = np.asarray(slope(agg).data)
+    np.testing.assert_allclose(out, ref_slope(data, 2, 2),
+                               equal_nan=True, rtol=1e-6)
+
+
+def test_fully_indivisible_falls_back(mesh):
+    # neither dim divides: distribute() replicates, ops take the jit path
+    rng = np.random.default_rng(6)
+    data = (rng.random((37, 53)) * 100).astype(np.float32)
+    agg = _sharded_raster(data, mesh, attrs={"res": (1, 1)})
+    out = np.asarray(slope(agg).data)
+    np.testing.assert_allclose(out, ref_slope(data, 1, 1),
+                               equal_nan=True, rtol=1e-6)
+
+
+def test_sharded_aspect_parity(elevation_raster_no_nans, mesh):
+    agg = _sharded_raster(elevation_raster_no_nans, mesh)
+    out = np.asarray(aspect(agg).data)
+    np.testing.assert_allclose(out, ref_aspect(elevation_raster_no_nans),
+                               equal_nan=True, rtol=1e-6)
+
+
+def test_sharded_curvature_parity(elevation_raster_no_nans, mesh):
+    agg = _sharded_raster(elevation_raster_no_nans, mesh,
+                          attrs={"res": (1, 1)})
+    out = np.asarray(curvature(agg).data)
+    np.testing.assert_allclose(out, ref_curvature(elevation_raster_no_nans, 1),
+                               equal_nan=True, rtol=1e-6)
+
+
+def test_sharded_hillshade_parity(elevation_raster_no_nans, mesh):
+    agg = _sharded_raster(elevation_raster_no_nans, mesh)
+    out = np.asarray(hillshade(agg).data)
+    # rtol 5e-6: float32 op-ordering differs slightly across shard layouts
+    np.testing.assert_allclose(out, ref_hillshade(elevation_raster_no_nans),
+                               equal_nan=True, rtol=5e-6)
+
+
+def test_output_stays_sharded(elevation_raster_no_nans):
+    mesh = make_raster_mesh(2, 2)
+    agg = _sharded_raster(elevation_raster_no_nans, mesh)
+    out = slope(agg)
+    from xrspatial_tpu.parallel.halo import get_raster_mesh
+    assert get_raster_mesh(out.data) is mesh

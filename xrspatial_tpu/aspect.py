@@ -14,6 +14,7 @@ import jax.numpy as jnp
 
 from .dataset_support import supports_dataset
 from .kernels.geodesic import WGS84_A2, WGS84_B2, geodesic_aspect
+from .kernels.dispatch import run_stencil
 from .kernels.surface import aspect_jit
 from .utils import Z_UNITS, _extract_latlon_coords, to_jax, wrap_like
 from .xrlib import DataArray
@@ -44,7 +45,7 @@ def aspect(agg: DataArray,
             f"method must be 'planar' or 'geodesic', got {method!r}")
 
     if method == 'planar':
-        out = aspect_jit(to_jax(agg))
+        out = run_stencil(aspect_jit, 1, to_jax(agg))
     else:
         if z_unit not in Z_UNITS:
             raise ValueError(

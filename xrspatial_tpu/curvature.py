@@ -14,6 +14,7 @@ from typing import Optional
 import jax.numpy as jnp
 
 from .dataset_support import supports_dataset
+from .kernels.dispatch import run_stencil
 from .kernels.surface import curvature_jit
 from .utils import get_dataarray_resolution, to_jax, wrap_like
 from .xrlib import DataArray
@@ -31,5 +32,5 @@ def curvature(agg: DataArray,
     """
     cellsize_x, cellsize_y = get_dataarray_resolution(agg)
     cellsize = (cellsize_x + cellsize_y) / 2
-    out = curvature_jit(to_jax(agg), jnp.float32(cellsize))
+    out = run_stencil(curvature_jit, 1, to_jax(agg), jnp.float32(cellsize))
     return wrap_like(agg, out, name)

@@ -14,6 +14,7 @@ from typing import Optional
 import jax.numpy as jnp
 
 from .dataset_support import supports_dataset
+from .kernels.dispatch import run_stencil
 from .kernels.surface import hillshade_jit
 from .utils import to_jax, wrap_like
 from .xrlib import DataArray
@@ -43,8 +44,8 @@ def hillshade(agg: DataArray,
         (replaces the reference's OptiX ray-traced path).
     """
     data = to_jax(agg)
-    out = hillshade_jit(data, jnp.float32(azimuth),
-                        jnp.float32(angle_altitude))
+    out = run_stencil(hillshade_jit, 1, data, jnp.float32(azimuth),
+                      jnp.float32(angle_altitude))
     if shadows:
         from .kernels.shadows import shadow_mask
         from .utils import get_dataarray_resolution

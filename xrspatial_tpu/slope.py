@@ -17,6 +17,7 @@ import jax.numpy as jnp
 
 from .dataset_support import supports_dataset
 from .kernels.geodesic import WGS84_A2, WGS84_B2, geodesic_slope
+from .kernels.dispatch import run_stencil
 from .kernels.surface import slope_jit
 from .utils import (Z_UNITS, _extract_latlon_coords, get_dataarray_resolution,
                     to_jax, wrap_like)
@@ -57,8 +58,8 @@ def slope(agg: DataArray,
 
     if method == 'planar':
         cellsize_x, cellsize_y = get_dataarray_resolution(agg)
-        out = slope_jit(to_jax(agg),
-                        jnp.float32(cellsize_x), jnp.float32(cellsize_y))
+        out = run_stencil(slope_jit, 1, to_jax(agg),
+                          jnp.float32(cellsize_x), jnp.float32(cellsize_y))
     else:
         if z_unit not in Z_UNITS:
             raise ValueError(
