@@ -1,0 +1,117 @@
+"""Headline benchmark: surface+focal pipeline throughput on a 16k^2 DEM.
+
+Prints ONE JSON line:
+    {"metric": ..., "value": N, "unit": "Mpix/s", "vs_baseline": N}
+
+Baseline (BASELINE.md, reference ASV results on Ryzen 5 1600 single-node
+Numba): slope 31 Mpix/s, hillshade 12.8 Mpix/s.  No published focal_stats
+number exists; its baseline share is estimated at hillshade's rate (both
+are memory-bound window passes; focal_stats does strictly more work per
+pixel, so this over-estimates the baseline and under-reports our speedup).
+``vs_baseline`` compares pipeline throughput against the harmonic
+combination of the per-op baselines for the same op set.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import numpy as np
+
+N = 16384
+BASELINE_MPIX_S = {"slope": 31.0, "hillshade": 12.8, "focal_stats": 12.8}
+
+
+def gaussian_bump(ny: int, nx: int):
+    """Synthetic DEM in the style of the reference benchmarks
+    (benchmarks/benchmarks/common.py:7-62)."""
+    import jax.numpy as jnp
+    y = jnp.linspace(-1.0, 1.0, ny, dtype=jnp.float32)[:, None]
+    x = jnp.linspace(-1.0, 1.0, nx, dtype=jnp.float32)[None, :]
+    z = 1000.0 * jnp.exp(-(x * x + y * y) * 4.0)
+    # add deterministic ripples so gradients are non-trivial everywhere
+    z = z + 20.0 * jnp.sin(x * 40.0) * jnp.cos(y * 40.0)
+    return z
+
+
+def _sync(out):
+    """Force completion via a scalar device->host fetch.
+
+    Over the remote-TPU tunnel `jax.block_until_ready` returns before the
+    device work completes; fetching one element of the result is the only
+    reliable barrier (it rides the same device stream).
+    """
+    if isinstance(out, (list, tuple)):
+        out = out[0]
+    return float(out.ravel()[-1])
+
+
+def timed(fn, *args, reps=30):
+    """Per-call seconds, amortizing the ~30 ms tunnel sync latency.
+
+    Dispatches `reps` dependent executions back-to-back (single device
+    stream => serialized), syncs once, and subtracts the measured
+    scalar-fetch roundtrip.
+    """
+    out = fn(*args)
+    _sync(out)  # compile + warm
+
+    t0 = time.perf_counter()
+    _sync(out)
+    fetch_rt = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        out = fn(*args)
+    _sync(out)
+    total = time.perf_counter() - t0
+    return max(total - fetch_rt, 1e-9) / reps
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from xrspatial_tpu import hillshade, slope
+    from xrspatial_tpu.xrlib import DataArray
+
+    data = gaussian_bump(N, N)
+    jax.block_until_ready(data)
+    agg = DataArray(data, dims=("y", "x"), name="dem",
+                    attrs={"res": (1.0, 1.0)})
+    mpix = (N * N) / 1e6
+
+    ops = {}
+    ops["slope"] = lambda: slope(agg).data
+    ops["hillshade"] = lambda: hillshade(agg).data
+    try:
+        from xrspatial_tpu.convolution import circle_kernel
+        from xrspatial_tpu.focal import focal_stats
+        kernel = circle_kernel(1, 1, 1.5)  # 3x3 circular footprint
+        ops["focal_stats"] = lambda: focal_stats(
+            agg, kernel, stats_funcs=["mean", "max", "min", "std"]).data
+    except ImportError:
+        pass
+
+    op_secs = {}
+    for name, fn in ops.items():
+        op_secs[name] = timed(fn)
+        print(f"# {name}: {op_secs[name]*1e3:.2f} ms "
+              f"({mpix/op_secs[name]:.0f} Mpix/s)", file=sys.stderr)
+
+    total_s = sum(op_secs.values())
+    value = mpix / total_s
+    baseline = 1.0 / sum(1.0 / BASELINE_MPIX_S[k] for k in op_secs)
+    metric = "+".join(op_secs) + f" pipeline on {N}x{N} DEM"
+    print(json.dumps({
+        "metric": metric,
+        "value": round(value, 2),
+        "unit": "Mpix/s",
+        "vs_baseline": round(value / baseline, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()
