@@ -80,3 +80,76 @@ def ref_hillshade(data, azimuth=225, angle_altitude=25):
     out[(0, -1), :] = np.nan
     out[:, (0, -1)] = np.nan
     return out
+
+
+def ref_convolve2d(data, kernel):
+    data = data.astype(np.float32)
+    h, w = data.shape
+    kh, kw = kernel.shape
+    ry, rx = kh // 2, kw // 2
+    out = np.full((h, w), np.nan, dtype=np.float32)
+    for i in range(ry, h - ry):
+        for j in range(rx, w - rx):
+            acc = 0.0
+            for ki in range(kh):
+                for kj in range(kw):
+                    acc += kernel[ki, kj] * data[i + ki - ry, j + kj - rx]
+            out[i, j] = acc
+    return out
+
+
+def ref_focal_apply(data, kernel, func):
+    """func takes the (Kh,Kw) window buffer with NaN outside kernel/bounds."""
+    data = data.astype(np.float32)
+    h, w = data.shape
+    kh, kw = kernel.shape
+    ry, rx = kh // 2, kw // 2
+    out = np.zeros_like(data)
+    for y in range(h):
+        for x in range(w):
+            buf = np.full((kh, kw), np.nan, dtype=np.float32)
+            for ky in range(kh):
+                for kx in range(kw):
+                    yy, xx = y + ky - ry, x + kx - rx
+                    if 0 <= yy < h and 0 <= xx < w and kernel[ky, kx] == 1:
+                        buf[ky, kx] = data[yy, xx]
+            with np.errstate(all="ignore"):
+                import warnings
+                with warnings.catch_warnings():
+                    warnings.simplefilter("ignore")
+                    out[y, x] = func(buf)
+    return out
+
+
+def ref_focal_mean(data, excludes=(np.nan,)):
+    data = data.astype(float)
+    h, w = data.shape
+    out = np.zeros_like(data)
+    for y in range(h):
+        for x in range(w):
+            v = data[y, x]
+            if any((v == e) or (np.isnan(v) and np.isnan(e))
+                   for e in excludes):
+                out[y, x] = v
+            else:
+                win = data[max(y-1, 0):y+2, max(x-1, 0):x+2]
+                import warnings
+                with warnings.catch_warnings():
+                    warnings.simplefilter("ignore")
+                    out[y, x] = np.nanmean(win)
+    return out
+
+
+def ref_hotspots(data, kernel):
+    data = data.astype(np.float32)
+    conv = ref_convolve2d(data, kernel / kernel.sum())
+    m, s = np.nanmean(data), np.nanstd(data)
+    z = (conv - m) / s
+    out = np.zeros(data.shape, dtype=np.int8)
+    az = np.abs(z)
+    with np.errstate(invalid="ignore"):
+        conf = np.where(az > 2.58, 99,
+                        np.where(az > 1.96, 95, np.where(az > 1.65, 90, 0)))
+        sign = np.where(z > 0, 1, np.where(z < 0, -1, 0))
+    out[:] = (conf * sign).astype(np.int8)
+    return out

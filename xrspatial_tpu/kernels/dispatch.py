@@ -27,10 +27,11 @@ __all__ = ["run_stencil"]
 _compiled_cache: dict = {}
 
 
-def _sharded_runner(kernel: Callable, mesh, halo: HaloSpec):
+def _sharded_runner(kernel: Callable, mesh, halo: HaloSpec,
+                    out_leading_dims: int = 0):
     n_y = mesh.shape["y"]
     n_x = mesh.shape["x"]
-    mapped = stencil_shard_map(kernel, mesh, halo)
+    mapped = stencil_shard_map(kernel, mesh, halo, out_leading_dims)
     sharding = raster_sharding(mesh)
 
     @jax.jit
@@ -63,6 +64,13 @@ def run_stencil(kernel: Callable, radius, data, *args):
     key = (kernel, mesh, halo)
     runner = _compiled_cache.get(key)
     if runner is None:
-        runner = _sharded_runner(kernel, mesh, halo)
+        # rank of the kernel output decides how many leading (replicated)
+        # dims precede the spatial (y, x) pair in the out spec
+        out_shape = jax.eval_shape(
+            kernel, jax.ShapeDtypeStruct(data.shape, data.dtype),
+            *[jax.ShapeDtypeStruct(jnp.shape(a), jnp.result_type(a))
+              for a in args])
+        out_leading = len(out_shape.shape) - 2
+        runner = _sharded_runner(kernel, mesh, halo, out_leading)
         _compiled_cache[key] = runner
     return runner(data, *args)

@@ -159,12 +159,15 @@ def halo_extend(block, halo: HaloSpec, mesh: Mesh):
     return out
 
 
-def stencil_shard_map(kernel: Callable, mesh: Mesh, halo: HaloSpec):
+def stencil_shard_map(kernel: Callable, mesh: Mesh, halo: HaloSpec,
+                      out_leading_dims: int = 0):
     """Distribute a radius-r local kernel over the mesh with halo exchange.
 
     `kernel(extended_block, *args) -> extended_out` must be a pure local
     function whose output ring of width (ry, rx) is edge garbage (it is
-    cropped); scalar side args are broadcast to every shard.
+    cropped); scalar side args are broadcast to every shard.  The kernel
+    may return `out_leading_dims` extra leading (replicated-spec) dims
+    before the spatial (y, x) dims — e.g. a stacked stats axis.
     """
     ry, rx = halo.ry, halo.rx
 
@@ -176,12 +179,14 @@ def stencil_shard_map(kernel: Callable, mesh: Mesh, halo: HaloSpec):
 
     from jax.experimental.shard_map import shard_map
 
+    out_spec = P(*((None,) * out_leading_dims + ("y", "x")))
+
     def run(data, *args):
         n_args = len(args)
         mapped = shard_map(
             per_shard, mesh=mesh,
             in_specs=(P("y", "x"),) + (P(),) * n_args,
-            out_specs=P("y", "x"),
+            out_specs=out_spec,
             check_rep=False,
         )
         return mapped(data, *args)
