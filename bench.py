@@ -45,15 +45,18 @@ def _sync(out):
     """
     if isinstance(out, (list, tuple)):
         out = out[0]
+    if out.ndim == 0:
+        return float(out)
     return float(out.ravel()[-1])
 
 
-def timed(fn, *args, reps=30):
+def timed(fn, *args, reps=30, sync_each=False):
     """Per-call seconds, amortizing the ~30 ms tunnel sync latency.
 
     Dispatches `reps` dependent executions back-to-back (single device
     stream => serialized), syncs once, and subtracts the measured
-    scalar-fetch roundtrip.
+    scalar-fetch roundtrip.  `sync_each` serializes reps through host
+    syncs (needed when one in-flight output nearly fills HBM).
     """
     out = fn(*args)
     _sync(out)  # compile + warm
@@ -61,6 +64,15 @@ def timed(fn, *args, reps=30):
     t0 = time.perf_counter()
     _sync(out)
     fetch_rt = time.perf_counter() - t0
+
+    if sync_each:
+        times = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            out = fn(*args)
+            _sync(out)
+            times.append(time.perf_counter() - t0 - fetch_rt)
+        return max(min(times), 1e-9)
 
     t0 = time.perf_counter()
     for _ in range(reps):
@@ -83,21 +95,27 @@ def main():
                     attrs={"res": (1.0, 1.0)})
     mpix = (N * N) / 1e6
 
+    # each op reduces its output to a scalar (jitted: no eager temp copy)
+    # so queued reps don't hold multi-GB output buffers; adds one output
+    # read per op (slightly conservative).  NaN sums are fine — the scalar
+    # is only a completion barrier.
+    reduce = jax.jit(jnp.sum)
     ops = {}
-    ops["slope"] = lambda: slope(agg).data
-    ops["hillshade"] = lambda: hillshade(agg).data
+    ops["slope"] = lambda: reduce(slope(agg).data)
+    ops["hillshade"] = lambda: reduce(hillshade(agg).data)
     try:
         from xrspatial_tpu.convolution import circle_kernel
         from xrspatial_tpu.focal import focal_stats
         kernel = circle_kernel(1, 1, 1.5)  # 3x3 circular footprint
-        ops["focal_stats"] = lambda: focal_stats(
-            agg, kernel, stats_funcs=["mean", "max", "min", "std"]).data
+        ops["focal_stats"] = lambda: reduce(focal_stats(
+            agg, kernel, stats_funcs=["mean", "max", "min", "std"]).data)
     except ImportError:
         pass
 
     op_secs = {}
     for name, fn in ops.items():
-        op_secs[name] = timed(fn)
+        heavy = name == "focal_stats"  # 4GB output/rep: serialize reps
+        op_secs[name] = timed(fn, reps=8 if heavy else 30, sync_each=heavy)
         print(f"# {name}: {op_secs[name]*1e3:.2f} ms "
               f"({mpix/op_secs[name]:.0f} Mpix/s)", file=sys.stderr)
 

@@ -6,11 +6,10 @@ rasters shard over a 2D device mesh with ICI halo exchange
 list (``/root/reference/xrspatial/__init__.py:1-40``).
 """
 
-import jax as _jax
-
-# float64 support is required for geodesic ECEF math and viewshed parity
-# (reference geodesic.py:14, viewshed.py:1549-1561).
-_jax.config.update("jax_enable_x64", True)
+# NOTE: float64 is enabled per-op via `jax.enable_x64` scopes (utils.x64),
+# NOT globally — global x64 breaks Pallas/Mosaic TPU kernel compilation
+# (i64 indices fail to legalize).  f64 ops: geodesic ECEF math, focal mean,
+# viewshed (reference geodesic.py:14, viewshed.py:1549-1561).
 
 from .xrlib import DataArray, Dataset, concat  # noqa: E402,F401
 

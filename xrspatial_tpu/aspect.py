@@ -16,7 +16,7 @@ from .dataset_support import supports_dataset
 from .kernels.geodesic import WGS84_A2, WGS84_B2, geodesic_aspect
 from .kernels.dispatch import run_stencil
 from .kernels.surface import aspect_jit
-from .utils import Z_UNITS, _extract_latlon_coords, to_jax, wrap_like
+from .utils import Z_UNITS, _extract_latlon_coords, to_jax, wrap_like, x64
 from .xrlib import DataArray
 
 __all__ = ["aspect"]
@@ -53,8 +53,9 @@ def aspect(agg: DataArray,
                 f"{sorted(set(Z_UNITS.values()), key=str)}, got {z_unit!r}")
         z_factor = Z_UNITS[z_unit]
         lat_2d, lon_2d = _extract_latlon_coords(agg)
-        out = geodesic_aspect(to_jax(agg, jnp.float64),
-                              jnp.asarray(lat_2d), jnp.asarray(lon_2d),
-                              WGS84_A2, WGS84_B2, z_factor)
+        with x64():
+            out = geodesic_aspect(to_jax(agg, jnp.float64),
+                                  jnp.asarray(lat_2d), jnp.asarray(lon_2d),
+                                  WGS84_A2, WGS84_B2, z_factor)
 
     return wrap_like(agg, out, name)

@@ -89,11 +89,13 @@ def bump(width: int,
     locs[:, 1] = np.random.choice(range(height), count)
     heights = np.asarray(height_func(locs), dtype=np.float64)
 
-    locs_j = jnp.asarray(locs.astype(np.int32))
-    heights_j = jnp.asarray(heights)
-    if spread > 0:
-        out = _scan_bumps((height, width), locs_j, heights_j, spread)
-    else:
-        # no neighborhood: order-independent scatter-add of the centers
-        out = _scan_bumps_nospread(height, width, locs_j, heights_j)
+    from .utils import x64
+    with x64():
+        locs_j = jnp.asarray(locs.astype(np.int32))
+        heights_j = jnp.asarray(heights)
+        if spread > 0:
+            out = _scan_bumps((height, width), locs_j, heights_j, spread)
+        else:
+            # no neighborhood: order-independent scatter-add of the centers
+            out = _scan_bumps_nospread(height, width, locs_j, heights_j)
     return DataArray(out, dims=['y', 'x'], attrs=dict(res=1))

@@ -22,7 +22,7 @@ from .convolution import convolve_2d, custom_kernel
 from .dataset_support import supports_dataset
 from .kernels.dispatch import run_stencil
 from .kernels.window import hotspots_classify, kernel_offsets, window_stats
-from .utils import to_jax, wrap_like
+from .utils import to_jax, wrap_like, x64
 from .xrlib import DataArray, concat
 
 __all__ = ["mean", "apply", "focal_stats", "hotspots"]
@@ -56,9 +56,10 @@ def mean(agg, passes: int = 1, excludes=[np.nan], name: str = 'mean'):
     are left unchanged; all others become the nanmean of their clipped
     3x3 neighborhood.  Matches reference focal.py:44-67.
     """
-    out = to_jax(agg, None).astype(jnp.float64)
-    for _ in range(passes):
-        out = _mean_distributed(out, excludes)
+    with x64():
+        out = to_jax(agg, None).astype(jnp.float64)
+        for _ in range(passes):
+            out = _mean_distributed(out, excludes)
     return wrap_like(agg, out, name)
 
 
@@ -75,14 +76,33 @@ def _mean_kernel_jit(block, excl):
     return _focal_mean_one_pass(block, excl, excl.shape[0])
 
 
+import os
 from functools import lru_cache
+
+
+def _use_pallas() -> bool:
+    if os.environ.get("XRSPATIAL_NO_PALLAS") == "1":
+        return False
+    return jax.default_backend() == "tpu"
 
 
 @lru_cache(maxsize=256)
 def _stats_kernel(offsets: tuple, stats: tuple):
+    # One jitted program for gather + all stats + stack: XLA reuses
+    # intermediate buffers, keeping peak memory at input + padded + output.
+    @jax.jit
     def kern(block):
         outs = window_stats(block, offsets, stats)
         return jnp.stack([outs[s] for s in stats])
+    return kern
+
+
+@lru_cache(maxsize=256)
+def _stats_kernel_pallas(offsets: tuple, stats: tuple):
+    from .kernels.pallas_window import focal_stats_pallas
+
+    def kern(block):
+        return focal_stats_pallas(block, offsets, stats)
     return kern
 
 
@@ -90,7 +110,9 @@ def _window_stats_distributed(data, kernel: np.ndarray, stats: tuple):
     offsets = kernel_offsets(kernel)
     ry = max(abs(dy) for dy, _ in offsets) if offsets else 0
     rx = max(abs(dx) for _, dx in offsets) if offsets else 0
-    return run_stencil(_stats_kernel(offsets, stats), (ry, rx), data)
+    kern = (_stats_kernel_pallas(offsets, stats) if _use_pallas()
+            else _stats_kernel(offsets, stats))
+    return run_stencil(kern, (ry, rx), data)
 
 
 def apply(raster, kernel, func=_calc_mean, name: str = 'focal_apply'):

@@ -58,7 +58,12 @@ def window_stats(data, offsets: Tuple[Tuple[int, int], ...],
     rx = max(abs(dx) for _, dx in offsets)
     padded = jnp.pad(data, ((ry, ry), (rx, rx)), constant_values=jnp.nan)
 
-    shifts = [_shifted(padded, dy, dx, h, w, ry, rx) for dy, dx in offsets]
+    # Slices are re-taken inside each accumulation loop (never held as a
+    # list) so peak memory stays at the accumulators — XLA fuses the slice
+    # into the elementwise update.
+    def each_shift():
+        for dy, dx in offsets:
+            yield _shifted(padded, dy, dx, h, w, ry, rx)
 
     need_sum = any(s in stats for s in ("sum", "mean", "std", "var"))
     need_minmax = any(s in stats for s in ("min", "max", "range"))
@@ -67,14 +72,14 @@ def window_stats(data, offsets: Tuple[Tuple[int, int], ...],
     if need_sum:
         cnt = jnp.zeros((h, w), jnp.float32)
         ssum = jnp.zeros((h, w), jnp.float32)
-        for s in shifts:
+        for s in each_shift():
             ok = ~jnp.isnan(s)
             cnt = cnt + ok
             ssum = ssum + jnp.where(ok, s, 0.0)
     if need_minmax:
         smin = jnp.full((h, w), jnp.inf, jnp.float32)
         smax = jnp.full((h, w), -jnp.inf, jnp.float32)
-        for s in shifts:
+        for s in each_shift():
             smin = jnp.minimum(smin, jnp.where(jnp.isnan(s), jnp.inf, s))
             smax = jnp.maximum(smax, jnp.where(jnp.isnan(s), -jnp.inf, s))
         smin = jnp.where(jnp.isinf(smin), jnp.nan, smin)
@@ -98,7 +103,7 @@ def window_stats(data, offsets: Tuple[Tuple[int, int], ...],
     if "std" in stats or "var" in stats:
         # two-pass (deviations from the window mean), matching np.nanstd
         dev2 = jnp.zeros((h, w), jnp.float32)
-        for s in shifts:
+        for s in each_shift():
             d = s - mean
             dev2 = dev2 + jnp.where(jnp.isnan(s), 0.0, d * d)
         var = jnp.where(cnt > 0, dev2 / jnp.maximum(cnt, 1.0), jnp.nan)

@@ -16,7 +16,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .utils import to_jax
+from .utils import x64
 from .xrlib import DataArray
 
 __all__ = ["perlin"]
@@ -93,5 +93,6 @@ def perlin(agg: DataArray,
     linx = np.linspace(0, freq[0], width, endpoint=False, dtype=np.float32)
     liny = np.linspace(0, freq[1], height, endpoint=False, dtype=np.float32)
     x, y = np.meshgrid(linx, liny)
-    out = _perlin_normalized(p, jnp.asarray(x), jnp.asarray(y))
+    with x64():
+        out = _perlin_normalized(p, jnp.asarray(x), jnp.asarray(y))
     return DataArray(out, dims=agg.dims, attrs=agg.attrs, name=name)

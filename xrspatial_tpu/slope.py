@@ -20,7 +20,7 @@ from .kernels.geodesic import WGS84_A2, WGS84_B2, geodesic_slope
 from .kernels.dispatch import run_stencil
 from .kernels.surface import slope_jit
 from .utils import (Z_UNITS, _extract_latlon_coords, get_dataarray_resolution,
-                    to_jax, wrap_like)
+                    to_jax, wrap_like, x64)
 from .xrlib import DataArray
 
 __all__ = ["slope"]
@@ -67,8 +67,9 @@ def slope(agg: DataArray,
                 f"{sorted(set(Z_UNITS.values()), key=str)}, got {z_unit!r}")
         z_factor = Z_UNITS[z_unit]
         lat_2d, lon_2d = _extract_latlon_coords(agg)
-        out = geodesic_slope(to_jax(agg, jnp.float64),
-                             jnp.asarray(lat_2d), jnp.asarray(lon_2d),
-                             WGS84_A2, WGS84_B2, z_factor)
+        with x64():
+            out = geodesic_slope(to_jax(agg, jnp.float64),
+                                 jnp.asarray(lat_2d), jnp.asarray(lon_2d),
+                                 WGS84_A2, WGS84_B2, z_factor)
 
     return wrap_like(agg, out, name)

@@ -17,6 +17,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from .perlin import _permutation_table, perlin_noise
+from .utils import x64
 from .xrlib import DataArray
 
 __all__ = ["generate_terrain"]
@@ -90,12 +91,13 @@ def generate_terrain(agg: DataArray,
     x = jnp.asarray(x)
     y = jnp.asarray(y)
 
-    acc = jnp.zeros((height, width), dtype=jnp.float64)
-    for i in range(_N_OCTAVES):
-        p = jnp.asarray(_permutation_table(seed + i))
-        freq = float(2 ** i)
-        acc = _octave_add(acc, p, x * freq, y * freq, 1.0 / freq)
-    out = _finalize(acc, float(zfactor))
+    with x64():
+        acc = jnp.zeros((height, width), dtype=jnp.float64)
+        for i in range(_N_OCTAVES):
+            p = jnp.asarray(_permutation_table(seed + i))
+            freq = float(2 ** i)
+            acc = _octave_add(acc, p, x * freq, y * freq, 1.0 / freq)
+        out = _finalize(acc, float(zfactor))
 
     # datashader Canvas pixel-center coordinate convention
     dx = (x_range[1] - x_range[0]) / width

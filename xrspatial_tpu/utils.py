@@ -292,6 +292,23 @@ def _extract_latlon_coords(agg):
 # JAX adapters — the single-backend replacement for ArrayTypeFunctionMapping
 # ---------------------------------------------------------------------------
 
+class x64:
+    """Context manager enabling float64 for ops that need it.
+
+    Global ``jax_enable_x64`` breaks Pallas/Mosaic TPU compilation, so f64
+    ops (geodesic, focal mean, viewshed) opt in locally.  Uses
+    ``jax.enable_x64`` under the hood.
+    """
+
+    def __enter__(self):
+        self._cm = jax.enable_x64(True)
+        self._cm.__enter__()
+        return self
+
+    def __exit__(self, *exc):
+        return self._cm.__exit__(*exc)
+
+
 def to_jax(agg, dtype=jnp.float32) -> jax.Array:
     """Coerce a DataArray's payload to a device array of `dtype`."""
     data = agg.data if isinstance(agg, DataArray) else agg
