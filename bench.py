@@ -50,13 +50,13 @@ def _sync(out):
     return float(out.ravel()[-1])
 
 
-def timed(fn, *args, reps=30, sync_each=False):
+def timed(fn, *args, reps=30, burst=10):
     """Per-call seconds, amortizing the ~30 ms tunnel sync latency.
 
-    Dispatches `reps` dependent executions back-to-back (single device
-    stream => serialized), syncs once, and subtracts the measured
-    scalar-fetch roundtrip.  `sync_each` serializes reps through host
-    syncs (needed when one in-flight output nearly fills HBM).
+    Dispatches executions back-to-back in bursts of `burst` (single device
+    stream => serialized), syncing between bursts so at most `burst`
+    multi-GB outputs are ever in flight, and subtracts the measured
+    scalar-fetch roundtrip per burst.
     """
     out = fn(*args)
     _sync(out)  # compile + warm
@@ -65,14 +65,18 @@ def timed(fn, *args, reps=30, sync_each=False):
     _sync(out)
     fetch_rt = time.perf_counter() - t0
 
-    if sync_each:
-        times = []
-        for _ in range(reps):
-            t0 = time.perf_counter()
+    per_burst = []
+    done = 0
+    while done < reps:
+        n = min(burst, reps - done)
+        t0 = time.perf_counter()
+        for _ in range(n):
             out = fn(*args)
-            _sync(out)
-            times.append(time.perf_counter() - t0 - fetch_rt)
-        return max(min(times), 1e-9)
+        _sync(out)
+        per_burst.append((time.perf_counter() - t0 - fetch_rt) / n)
+        done += n
+    per_burst.sort()
+    return max(per_burst[len(per_burst) // 2], 1e-9)  # median burst
 
     t0 = time.perf_counter()
     for _ in range(reps):
@@ -114,8 +118,10 @@ def main():
 
     op_secs = {}
     for name, fn in ops.items():
-        heavy = name == "focal_stats"  # 4GB output/rep: serialize reps
-        op_secs[name] = timed(fn, reps=8 if heavy else 30, sync_each=heavy)
+        # focal's 4GB-per-execution transients cap its in-flight depth
+        heavy = name == "focal_stats"
+        op_secs[name] = timed(fn, reps=8 if heavy else 30,
+                              burst=2 if heavy else 10)
         print(f"# {name}: {op_secs[name]*1e3:.2f} ms "
               f"({mpix/op_secs[name]:.0f} Mpix/s)", file=sys.stderr)
 

@@ -80,10 +80,14 @@ import os
 from functools import lru_cache
 
 
-def _use_pallas() -> bool:
+def _use_pallas(data=None) -> bool:
     if os.environ.get("XRSPATIAL_NO_PALLAS") == "1":
         return False
-    return jax.default_backend() == "tpu"
+    if jax.default_backend() != "tpu":
+        return False
+    # small outputs get placed wholly in VMEM by XLA and overflow the 16MB
+    # budget; the fused-XLA path is fine (and fast) at these sizes anyway
+    return data is None or data.size >= (2048 * 2048)
 
 
 @lru_cache(maxsize=256)
@@ -110,7 +114,7 @@ def _window_stats_distributed(data, kernel: np.ndarray, stats: tuple):
     offsets = kernel_offsets(kernel)
     ry = max(abs(dy) for dy, _ in offsets) if offsets else 0
     rx = max(abs(dx) for _, dx in offsets) if offsets else 0
-    kern = (_stats_kernel_pallas(offsets, stats) if _use_pallas()
+    kern = (_stats_kernel_pallas(offsets, stats) if _use_pallas(data)
             else _stats_kernel(offsets, stats))
     return run_stencil(kern, (ry, rx), data)
 
@@ -178,9 +182,14 @@ def focal_stats(agg, kernel,
 
     stacked = _window_stats_distributed(to_jax(agg), kernel,
                                         tuple(stats_funcs))
-    aggs = [wrap_like(agg, stacked[i], s) for i, s in enumerate(stats_funcs)]
-    out = concat(aggs, dim="stats")
-    out.name = "focal_apply"
+    # wrap the stacked device array directly (no per-stat slicing/restack —
+    # that would copy the multi-GB result twice)
+    out = DataArray(stacked, dims=("stats",) + tuple(agg.dims),
+                    name="focal_apply", attrs=dict(agg.attrs))
+    for cname, cval in agg.coords.items():
+        out.coords[cname] = cval
+    out.coords["stats"] = DataArray(np.asarray(list(stats_funcs)),
+                                    dims=("stats",), name="stats")
     return out
 
 
