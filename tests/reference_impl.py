@@ -153,3 +153,68 @@ def ref_hotspots(data, kernel):
         sign = np.where(z > 0, 1, np.where(z < 0, -1, 0))
     out[:] = (conf * sign).astype(np.int8)
     return out
+
+
+def ref_bin(data, bins, new_values):
+    """val <= bins[0] -> 0; bins[i-1] < val <= bins[i] -> i; else NaN."""
+    data = np.asarray(data, dtype=np.float32)
+    bins = np.asarray(bins)
+    out = np.full(data.shape, np.nan, dtype=np.float32)
+    it = np.nditer(data, flags=["multi_index"])
+    for v in it:
+        v = float(v)
+        if not np.isfinite(v):
+            continue
+        for i, b in enumerate(bins):
+            if v <= b:
+                out[it.multi_index] = new_values[i]
+                break
+    return out
+
+
+def ref_jenks_matrices(data, n_classes):
+    """Direct loop port of the Jenks DP semantics (float32)."""
+    n_data = data.shape[0]
+    lcl = np.zeros((n_data + 1, n_classes + 1), dtype=np.float32)
+    lcl[1, 1:] = 1.0
+    var_comb = np.zeros((n_data + 1, n_classes + 1), dtype=np.float32)
+    var_comb[2:, 1:] = np.inf
+    variance = np.float32(0.0)
+    for l in range(2, n_data + 1):  # noqa: E741
+        s = np.float32(0.0)
+        ss = np.float32(0.0)
+        w = np.float32(0.0)
+        for m in range(l):
+            lower = l - m
+            i4 = lower - 1
+            val = np.float32(data[i4])
+            w += np.float32(1.0)
+            s += val
+            ss += val * val
+            variance = ss - (s * s) / w
+            if i4 == 0:
+                continue
+            for j in range(2, n_classes + 1):
+                nv = variance + var_comb[i4, j - 1]
+                if var_comb[l, j] >= nv:
+                    lcl[l, j] = lower
+                    var_comb[l, j] = nv
+        lcl[l, 1] = 1.0
+        var_comb[l, 1] = variance
+    return lcl
+
+
+def ref_jenks(data, n_classes):
+    data = np.sort(np.asarray(data, dtype=np.float32))
+    lcl = ref_jenks_matrices(data, n_classes)
+    k = data.shape[0]
+    kclass = np.zeros(n_classes + 1, dtype=np.float32)
+    kclass[0] = data[0]
+    kclass[-1] = data[-1]
+    cn = n_classes
+    while cn > 1:
+        elt = int(lcl[k][cn] - 2)
+        kclass[cn - 1] = data[elt]
+        k = int(lcl[k][cn] - 1)
+        cn -= 1
+    return kclass

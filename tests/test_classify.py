@@ -1,0 +1,197 @@
+"""Parity + contract tests for the classification family."""
+
+import numpy as np
+import pytest
+
+from general_checks import create_test_raster, general_output_checks
+from reference_impl import ref_bin, ref_jenks
+
+from xrspatial_tpu.classify import (binary, box_plot, equal_interval,
+                                    head_tail_breaks, maximum_breaks,
+                                    natural_breaks, percentiles, quantile,
+                                    reclassify, std_mean)
+
+
+@pytest.fixture
+def cdata():
+    data = np.arange(20, dtype=np.float32).reshape(4, 5)
+    data[0, 0] = np.nan
+    data[3, 4] = np.inf
+    return data
+
+
+def test_binary(cdata):
+    agg = create_test_raster(cdata)
+    out = binary(agg, [1, 2, 3])
+    expected = np.where(np.isfinite(cdata),
+                        np.isin(cdata, [1, 2, 3]).astype(np.float32), np.nan)
+    expected[3, 4] = np.nan
+    general_output_checks(agg, out, expected)
+
+
+def test_reclassify(cdata):
+    agg = create_test_raster(cdata)
+    bins = [5, 10, 20]
+    new_values = [1.0, 2.0, 3.0]
+    out = reclassify(agg, bins, new_values)
+    expected = ref_bin(cdata, bins, new_values)
+    general_output_checks(agg, out, expected)
+    with pytest.raises(ValueError):
+        reclassify(agg, [1, 2], [1])
+
+
+def test_reclassify_upper_open(cdata):
+    # values beyond the last bin -> NaN
+    agg = create_test_raster(cdata)
+    out = np.asarray(reclassify(agg, [5], [1.0]).data)
+    assert np.isnan(out[2, 2])
+    assert out[1, 0] == 1.0
+
+
+def test_quantile(cdata):
+    agg = create_test_raster(cdata)
+    out = quantile(agg, k=4)
+    finite = cdata[np.isfinite(cdata)]
+    q = np.unique(np.percentile(finite, [25, 50, 75, 100]))
+    expected = ref_bin(cdata, q, np.arange(4))
+    general_output_checks(agg, out, expected)
+
+
+def test_quantile_balanced_classes():
+    rng = np.random.default_rng(3)
+    data = rng.random((40, 40)).astype(np.float32)
+    out = np.asarray(quantile(create_test_raster(data), k=4).data)
+    _, counts = np.unique(out[np.isfinite(out)], return_counts=True)
+    assert counts.max() - counts.min() <= 2
+
+
+def test_equal_interval(cdata):
+    agg = create_test_raster(cdata)
+    out = equal_interval(agg, k=3)
+    finite = cdata[np.isfinite(cdata)]
+    mn, mx = finite.min(), finite.max()
+    width = (mx - mn) / 3
+    cuts = np.arange(mn + width, mx + width, width)[:3]
+    cuts[-1] = mx
+    expected = ref_bin(cdata, cuts, np.arange(len(cuts)))
+    general_output_checks(agg, out, expected)
+
+
+def test_std_mean():
+    rng = np.random.default_rng(9)
+    data = rng.normal(100, 10, (30, 30)).astype(np.float32)
+    agg = create_test_raster(data)
+    out = std_mean(agg)
+    m, s, mx = data.mean(), data.std(), data.max()
+    bins = np.sort(np.unique([m - 2 * s, m - s, m + s, m + 2 * s, mx]))
+    expected = ref_bin(data, bins, np.arange(len(bins)))
+    np.testing.assert_allclose(np.asarray(out.data), expected,
+                               equal_nan=True)
+
+
+def test_head_tail_breaks():
+    rng = np.random.default_rng(4)
+    data = rng.pareto(3, (30, 30)).astype(np.float32)  # heavy-tailed
+    agg = create_test_raster(data)
+    out = head_tail_breaks(agg)
+    arr = np.asarray(out.data)
+    assert np.isfinite(arr).all()
+    # classes are contiguous integers starting at 0
+    uniq = np.unique(arr)
+    np.testing.assert_array_equal(uniq, np.arange(len(uniq)))
+    # reproduce the iterative mean splitting
+    bins = []
+    d = data.ravel()
+    while len(d) > 1:
+        m = d.mean()
+        bins.append(m)
+        head = d[d > m]
+        if len(head) == 0 or len(head) / len(d) > 0.40:
+            break
+        d = head
+    bins.append(data.max())
+    expected = ref_bin(data, np.array(bins), np.arange(len(bins)))
+    np.testing.assert_allclose(arr, expected, equal_nan=True)
+
+
+def test_percentiles(cdata):
+    agg = create_test_raster(cdata)
+    out = percentiles(agg, pct=[20, 40, 60, 80, 100])
+    finite = cdata[np.isfinite(cdata)]
+    q = np.unique(np.percentile(finite, [20, 40, 60, 80, 100]))
+    expected = ref_bin(cdata, q, np.arange(len(q)))
+    general_output_checks(agg, out, expected, rtol=1e-5)
+    with pytest.raises(ValueError):
+        percentiles(agg, pct=[0])
+    with pytest.raises(ValueError):
+        percentiles(agg, pct=[101])
+
+
+def test_maximum_breaks():
+    data = np.array([[1., 1.1, 1.2, 5.0],
+                     [5.1, 5.2, 9.0, 9.1],
+                     [1.05, 5.05, 9.05, 9.2]], dtype=np.float32)
+    agg = create_test_raster(data)
+    out = np.asarray(maximum_breaks(agg, k=3).data)
+    # gaps at 1.2->5.0 and 5.2->9.0; breaks at midpoints 3.1 and 7.1
+    expected = ref_bin(data, [3.1, 7.1, 9.2], [0, 1, 2])
+    np.testing.assert_allclose(out, expected, equal_nan=True)
+
+
+def test_box_plot():
+    rng = np.random.default_rng(12)
+    data = rng.normal(50, 5, (20, 20)).astype(np.float32)
+    data[0, 0] = 200.0  # outlier above the fence
+    agg = create_test_raster(data)
+    out = np.asarray(box_plot(agg).data)
+    q1, q2, q3 = np.percentile(data, [25, 50, 75])
+    iqr = q3 - q1
+    bins = np.sort(np.unique(
+        [q1 - 1.5 * iqr, q1, q2, q3, q3 + 1.5 * iqr, data.max()]))
+    bins = bins[bins <= data.max()]
+    expected = ref_bin(data, bins, np.arange(len(bins)))
+    np.testing.assert_allclose(out, expected, equal_nan=True)
+    assert out[0, 0] == len(bins) - 1  # outlier in top class
+
+
+def test_jenks_dp_parity():
+    """lax.scan DP matches the loop-based Jenks oracle exactly."""
+    from xrspatial_tpu.classify import _run_jenks
+    rng = np.random.default_rng(5)
+    for n, k in [(30, 4), (100, 5), (57, 3)]:
+        data = (rng.random(n) * 100).astype(np.float32)
+        ours = _run_jenks(data.copy(), k)
+        ref = ref_jenks(data.copy(), k)
+        np.testing.assert_allclose(ours, ref)
+
+
+def test_natural_breaks():
+    rng = np.random.default_rng(6)
+    data = np.concatenate([rng.normal(10, 1, 200),
+                           rng.normal(50, 2, 200),
+                           rng.normal(90, 1, 200)]).astype(np.float32)
+    rng.shuffle(data)
+    data = data.reshape(20, 30)
+    agg = create_test_raster(data)
+    out = natural_breaks(agg, k=3)
+    arr = np.asarray(out.data)
+    assert set(np.unique(arr)) == {0.0, 1.0, 2.0}
+    # the three classes recover the three clusters
+    assert (arr[(data > 30) & (data < 70)] == 1.0).all()
+
+
+def test_natural_breaks_sampled_deterministic():
+    rng = np.random.default_rng(7)
+    data = (rng.random((40, 40)) * 100).astype(np.float32)
+    agg = create_test_raster(data)
+    a = np.asarray(natural_breaks(agg, num_sample=500, k=4).data)
+    b = np.asarray(natural_breaks(agg, num_sample=500, k=4).data)
+    np.testing.assert_array_equal(a, b)
+
+
+def test_natural_breaks_too_few_unique():
+    data = np.array([[1.0, 2.0]] * 3, dtype=np.float32)
+    agg = create_test_raster(data)
+    with pytest.warns(Warning):
+        out = natural_breaks(agg, k=5)
+    assert set(np.unique(np.asarray(out.data))) <= {0.0, 1.0}
