@@ -1,0 +1,245 @@
+"""Tests for zonal stats / crosstab / apply / regions / trim / crop."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from general_checks import create_test_raster
+
+from xrspatial_tpu import DataArray, Dataset
+from xrspatial_tpu.zonal import (apply, crop, crosstab, get_full_extent,
+                                 regions, stats, suggest_zonal_canvas, trim)
+
+
+@pytest.fixture
+def zones_values():
+    """Reference docstring setup (zonal.py:540-560): quadrant zones over
+    values 0..99 -> means 22/27/72/77, std 14.21267, count 25 each."""
+    zones_data = np.zeros((10, 10), dtype=np.int64)
+    zones_data[:5, 5:] = 10
+    zones_data[5:, :5] = 20
+    zones_data[5:, 5:] = 30
+    values_data = np.arange(100, dtype=np.float64).reshape(10, 10)
+    zones = create_test_raster(zones_data, name="zones")
+    values = create_test_raster(values_data, name="values")
+    return zones, values
+
+
+def test_stats_reference_golden(zones_values):
+    zones, values = zones_values
+    df = stats(zones=zones, values=values)
+    assert isinstance(df, pd.DataFrame)
+    np.testing.assert_array_equal(df["zone"], [0, 10, 20, 30])
+    np.testing.assert_allclose(df["mean"], [22.0, 27.0, 72.0, 77.0])
+    np.testing.assert_allclose(df["max"], [44, 49, 94, 99])
+    np.testing.assert_allclose(df["min"], [0, 5, 50, 55])
+    np.testing.assert_allclose(df["sum"], [550, 675, 1800, 1925])
+    np.testing.assert_allclose(df["std"], [14.21267] * 4, rtol=1e-5)
+    np.testing.assert_allclose(df["var"], [202.0] * 4, rtol=1e-5)
+    np.testing.assert_allclose(df["count"], [25] * 4)
+
+
+def test_stats_custom_func(zones_values):
+    zones, values = zones_values
+    df = stats(zones=zones, values=values,
+               stats_funcs={"double_sum": lambda v: v.sum() * 2})
+    np.testing.assert_allclose(df["double_sum"], [1100, 1350, 3600, 3850])
+
+
+def test_stats_majority():
+    zones = create_test_raster(np.array([[1, 1, 2, 2]] * 2, dtype=np.int64))
+    values = create_test_raster(np.array([[5., 5., 7., 8.],
+                                          [5., 3., 8., 8.]]))
+    df = stats(zones, values, stats_funcs=["majority"])
+    np.testing.assert_allclose(df["majority"], [5.0, 8.0])
+
+
+def test_stats_zone_ids_and_nodata(zones_values):
+    zones, values = zones_values
+    df = stats(zones, values, zone_ids=[10, 30])
+    np.testing.assert_array_equal(df["zone"], [10, 30])
+    # nodata values excluded
+    df2 = stats(zones, values, stats_funcs=["count"], nodata_values=0)
+    # zone 0 contains the value 0 -> one fewer
+    np.testing.assert_allclose(df2["count"], [24, 25, 25, 25])
+
+
+def test_stats_nan_values_excluded(zones_values):
+    zones, values = zones_values
+    vals = np.asarray(values.data).copy()
+    vals[0, 0] = np.nan
+    values.data = vals
+    df = stats(zones, values, stats_funcs=["count"])
+    np.testing.assert_allclose(df["count"], [24, 25, 25, 25])
+
+
+def test_stats_return_dataarray(zones_values):
+    zones, values = zones_values
+    out = stats(zones, values, stats_funcs=["mean", "count"],
+                return_type="xarray.DataArray")
+    assert isinstance(out, DataArray)
+    assert out.dims == ("stats", "y", "x")
+    arr = np.asarray(out.data)
+    assert arr.shape == (2, 10, 10)
+    assert arr[0, 0, 0] == 22.0   # zone 0 mean broadcast
+    assert arr[0, 9, 9] == 77.0   # zone 30 mean
+    assert arr[1, 0, 0] == 25.0
+
+
+def test_stats_dataset_values(zones_values):
+    zones, values = zones_values
+    ds = Dataset({"a": values, "b": values})
+    df = stats(zones, ds, stats_funcs=["mean"])
+    assert "a_mean" in df.columns and "b_mean" in df.columns
+    np.testing.assert_allclose(df["a_mean"], [22.0, 27.0, 72.0, 77.0])
+
+
+def test_stats_validation(zones_values):
+    zones, values = zones_values
+    with pytest.raises(ValueError):
+        stats(zones, values, stats_funcs=["bogus"])
+    bad = create_test_raster(np.zeros((3, 3)))
+    with pytest.raises(ValueError):
+        stats(zones, bad)  # shape mismatch
+
+
+# ---------------------------------------------------------------------------
+# crosstab
+# ---------------------------------------------------------------------------
+
+def test_crosstab_counts():
+    zones = create_test_raster(np.array([[1, 1, 2, 2],
+                                         [1, 1, 2, 2]], dtype=np.int64))
+    values = create_test_raster(np.array([[7., 8., 7., 7.],
+                                          [8., 8., 7., np.nan]]))
+    df = crosstab(zones=zones, values=values)
+    np.testing.assert_array_equal(df["zone"], [1, 2])
+    np.testing.assert_allclose(df[7.0], [1, 3])
+    np.testing.assert_allclose(df[8.0], [3, 0])
+
+
+def test_crosstab_percentage():
+    zones = create_test_raster(np.array([[1, 1, 1, 1],
+                                         [2, 2, 2, 2]], dtype=np.int64))
+    values = create_test_raster(np.array([[7., 7., 8., 8.],
+                                          [7., 8., 8., 8.]]))
+    df = crosstab(zones=zones, values=values, agg="percentage")
+    np.testing.assert_allclose(df[7.0], [50.0, 25.0])
+    np.testing.assert_allclose(df[8.0], [50.0, 75.0])
+
+
+def test_crosstab_3d():
+    zones = create_test_raster(np.array([[1, 1], [2, 2]], dtype=np.int64))
+    cube = np.stack([np.full((2, 2), 1.0), np.full((2, 2), 5.0)])
+    values = DataArray(cube, dims=("cat", "y", "x"), name="v")
+    values.coords["cat"] = np.array([10, 20])
+    df = crosstab(zones=zones, values=values, agg="sum", layer=0)
+    np.testing.assert_allclose(df[10], [2.0, 2.0])
+    np.testing.assert_allclose(df[20], [10.0, 10.0])
+
+
+def test_crosstab_validation(zones_values):
+    zones, values = zones_values
+    with pytest.raises(ValueError):
+        crosstab(zones=zones, values=values, agg="sum")  # 2D + sum invalid
+
+
+# ---------------------------------------------------------------------------
+# apply
+# ---------------------------------------------------------------------------
+
+def test_zonal_apply():
+    zones = create_test_raster(np.array([[1, 1, 0, 2],
+                                         [0, 2, 1, 2]], dtype=np.int64))
+    values = create_test_raster(np.array([[2., -1., 5., 3.],
+                                          [3., np.nan, 20., 10.]]))
+    apply(zones, values, func=lambda x: 0 * x)
+    out = np.asarray(values.data)
+    expected = np.array([[0., 0., 5., 0.],
+                         [3., np.nan, 0., 0.]])
+    np.testing.assert_allclose(out, expected, equal_nan=True)
+
+
+def test_zonal_apply_validation():
+    zones = create_test_raster(np.zeros((2, 2), dtype=np.float32))
+    values = create_test_raster(np.zeros((2, 2), dtype=np.float32))
+    with pytest.raises(ValueError):
+        apply(zones, values, lambda x: x)  # zones must be int
+
+
+# ---------------------------------------------------------------------------
+# regions
+# ---------------------------------------------------------------------------
+
+def test_regions_basic():
+    data = np.array([[1, 1, 0, 0],
+                     [1, 0, 0, 2],
+                     [0, 0, 2, 2],
+                     [3, 0, 2, 2]], dtype=np.float32)
+    out = np.asarray(regions(create_test_raster(data)).data)
+    # same-valued connected cells share a label; labels are scan-ordered
+    assert out[0, 0] == out[0, 1] == out[1, 0]  # the "1" region
+    assert out[0, 2] == out[0, 3] == out[1, 1]  # the "0" region (connected)
+    assert out[1, 3] == out[2, 2] == out[2, 3] == out[3, 2] == out[3, 3]
+    assert out[3, 0] not in (out[0, 0], out[0, 2], out[1, 3])
+    assert out[0, 0] == 1.0  # first scan-order region gets id 1
+
+
+def test_regions_4_vs_8():
+    data = np.array([[1, 0],
+                     [0, 1]], dtype=np.float32)
+    out4 = np.asarray(regions(create_test_raster(data), neighborhood=4).data)
+    out8 = np.asarray(regions(create_test_raster(data), neighborhood=8).data)
+    assert out4[0, 0] != out4[1, 1]  # diagonal not connected with n=4
+    assert out8[0, 0] == out8[1, 1]  # connected with n=8
+    with pytest.raises(ValueError):
+        regions(create_test_raster(data), neighborhood=6)
+
+
+def test_regions_nan_passthrough():
+    data = np.array([[1., np.nan], [1., 1.]], dtype=np.float32)
+    out = np.asarray(regions(create_test_raster(data)).data)
+    assert np.isnan(out[0, 1])
+    assert out[0, 0] == out[1, 0] == out[1, 1] == 1.0
+
+
+# ---------------------------------------------------------------------------
+# trim / crop / canvas
+# ---------------------------------------------------------------------------
+
+def test_trim():
+    arr = np.array([[0, 0, 0, 0],
+                    [0, 4, 0, 0],
+                    [0, 4, 4, 0],
+                    [0, 1, 1, 0],
+                    [0, 0, 0, 0]], dtype=np.int64)
+    raster = create_test_raster(arr)
+    trimmed = trim(raster, values=(0,))
+    assert trimmed.shape == (3, 2)
+    np.testing.assert_array_equal(np.asarray(trimmed.data),
+                                  [[4, 0], [4, 4], [1, 1]])
+    assert trimmed.name == "trim"
+    # coords sliced consistently
+    np.testing.assert_array_equal(np.asarray(trimmed["y"].data),
+                                  np.asarray(raster["y"].data)[1:4])
+
+
+def test_crop():
+    zones = create_test_raster(np.array([[0, 0, 0, 0],
+                                         [0, 5, 5, 0],
+                                         [0, 5, 5, 0],
+                                         [0, 0, 0, 0]], dtype=np.int64))
+    values = create_test_raster(np.arange(16, dtype=float).reshape(4, 4))
+    out = crop(zones, values, zones_ids=(5,))
+    assert out.shape == (2, 2)
+    np.testing.assert_array_equal(np.asarray(out.data), [[5., 6.], [9., 10.]])
+    assert out.name == "crop"
+
+
+def test_suggest_zonal_canvas():
+    h, w = suggest_zonal_canvas(smallest_area=8e9, min_pixels=20,
+                                x_range=(-20e6, 20e6), y_range=(-20e6, 20e6),
+                                crs="Mercator")
+    assert h == w  # full square extent
+    assert h * w >= (40e6 * 40e6) / (8e9 / 20) * 0.9
+    assert get_full_extent("Geographic") == ((-180, 180), (-90, 90))
