@@ -1,0 +1,171 @@
+"""Tests for proximity / allocation / direction (jump-flood transform)."""
+
+import numpy as np
+import pytest
+
+from general_checks import create_test_raster
+
+from xrspatial_tpu.proximity import (allocation, direction,
+                                     euclidean_distance,
+                                     great_circle_distance,
+                                     manhattan_distance, proximity)
+
+
+def brute_force(data, xs, ys, targets_mask, metric="EUCLIDEAN",
+                max_distance=np.inf):
+    """Exact nearest-target distances by exhaustive search."""
+    h, w = data.shape
+    t_idx = np.argwhere(targets_mask)
+    out = np.full((h, w), np.nan, dtype=np.float64)
+    nearest = np.full((h, w, 2), -1, dtype=np.int64)
+    for i in range(h):
+        for j in range(w):
+            best = np.inf
+            for ti, tj in t_idx:
+                if metric == "EUCLIDEAN":
+                    d = np.hypot(xs[j] - xs[tj], ys[i] - ys[ti])
+                elif metric == "MANHATTAN":
+                    d = abs(xs[j] - xs[tj]) + abs(ys[i] - ys[ti])
+                else:
+                    d = great_circle_distance(float(xs[j]), float(xs[tj]),
+                                              float(ys[i]), float(ys[ti]))
+                if d < best:
+                    best = d
+                    nearest[i, j] = (ti, tj)
+            if best <= max_distance:
+                out[i, j] = best
+            else:
+                nearest[i, j] = (-1, -1)
+    return out, nearest
+
+
+@pytest.fixture
+def raster():
+    rng = np.random.default_rng(17)
+    data = np.zeros((10, 14), dtype=np.float32)
+    # scatter a few targets
+    for (i, j) in [(1, 2), (7, 11), (4, 6), (9, 0)]:
+        data[i, j] = 1.0
+    agg = create_test_raster(data, attrs={"res": (1, 1)})
+    return agg
+
+
+def test_scalar_distances():
+    assert euclidean_distance(0, 3, 0, 4) == pytest.approx(5.0)
+    assert manhattan_distance(142.32, 312.54, 23.23, 432.01) == \
+        pytest.approx(579.0)
+    assert great_circle_distance(123.2, 178.0, 82.32, 65.09) == \
+        pytest.approx(2378290.489801402)
+    with pytest.raises(ValueError):
+        great_circle_distance(200, 0, 0, 0)
+
+
+@pytest.mark.parametrize("metric", ["EUCLIDEAN", "MANHATTAN"])
+def test_proximity_exact(raster, metric):
+    out = np.asarray(proximity(raster, distance_metric=metric).data)
+    data = np.asarray(raster.data)
+    xs = np.asarray(raster["x"].data)
+    ys = np.asarray(raster["y"].data)
+    expected, _ = brute_force(data, xs, ys, data != 0, metric)
+    np.testing.assert_allclose(out, expected, rtol=1e-5, atol=1e-5)
+
+
+def test_proximity_great_circle():
+    data = np.zeros((8, 8), dtype=np.float32)
+    data[2, 3] = 1.0
+    data[6, 6] = 1.0
+    agg = create_test_raster(data)
+    agg["x"] = np.linspace(-10, 10, 8)
+    agg["y"] = np.linspace(50, 40, 8)
+    out = np.asarray(proximity(agg, distance_metric="GREAT_CIRCLE").data)
+    xs, ys = np.asarray(agg["x"].data), np.asarray(agg["y"].data)
+    expected, _ = brute_force(data, xs, ys, data != 0, "GC")
+    np.testing.assert_allclose(out, expected, rtol=1e-4)
+
+
+def test_proximity_target_values(raster):
+    data = np.asarray(raster.data).copy()
+    data[2, 2] = 7.0
+    data[5, 5] = 9.0
+    raster.data = data
+    out = np.asarray(proximity(raster, target_values=[7, 9]).data)
+    xs = np.asarray(raster["x"].data)
+    ys = np.asarray(raster["y"].data)
+    expected, _ = brute_force(data, xs, ys, np.isin(data, [7, 9]))
+    np.testing.assert_allclose(out, expected, rtol=1e-5, atol=1e-5)
+
+
+def test_proximity_max_distance(raster):
+    out = np.asarray(proximity(raster, max_distance=2.0).data)
+    data = np.asarray(raster.data)
+    xs = np.asarray(raster["x"].data)
+    ys = np.asarray(raster["y"].data)
+    expected, _ = brute_force(data, xs, ys, data != 0,
+                              max_distance=2.0)
+    np.testing.assert_allclose(out, expected, rtol=1e-5, atol=1e-5,
+                               equal_nan=True)
+
+
+def test_proximity_dims_check(raster):
+    with pytest.raises(ValueError):
+        proximity(raster, x="lon", y="lat")
+
+
+def test_allocation(raster):
+    # give each target a distinct value so allocation is identifiable
+    data = np.zeros((10, 14), dtype=np.float32)
+    data[1, 2] = 5.0
+    data[8, 11] = 9.0
+    raster = create_test_raster(data)
+    out = np.asarray(allocation(raster).data)
+    xs = np.asarray(raster["x"].data)
+    ys = np.asarray(raster["y"].data)
+    _, nearest = brute_force(data, xs, ys, data != 0)
+    expected = data[nearest[:, :, 0], nearest[:, :, 1]]
+    # compare only where nearest target is unique (no ties):
+    d5 = brute_force(data, xs, ys, data == 5.0)[0]
+    d9 = brute_force(data, xs, ys, data == 9.0)[0]
+    unique = np.abs(d5 - d9) > 1e-6
+    np.testing.assert_allclose(out[unique], expected[unique])
+
+
+def test_direction(raster):
+    data = np.zeros((6, 6), dtype=np.float32)
+    data[3, 3] = 1.0
+    agg = create_test_raster(data, attrs={"res": (1, 1)})
+    out = np.asarray(direction(agg).data)
+    assert out[3, 3] == 0.0  # target itself
+    xs = np.asarray(agg["x"].data)
+    ys = np.asarray(agg["y"].data)
+    # cell directly east of the target (same row, larger x)
+    assert out[3, 4] == pytest.approx(270.0)  # target is to the west
+    # verify against the reference formula for every cell
+    for i in range(6):
+        for j in range(6):
+            if (i, j) == (3, 3):
+                continue
+            x_p, y_p = xs[j], ys[i]
+            x_t, y_t = xs[3], ys[3]
+            d = np.arctan2(-(y_t - y_p), x_t - x_p) * 57.29578
+            if d < 0:
+                d = 90.0 - d
+            elif d > 90.0:
+                d = 360.0 - d + 90.0
+            else:
+                d = 90.0 - d
+            assert out[i, j] == pytest.approx(d, rel=1e-5)
+
+
+def test_proximity_random_exactness():
+    """JFA+2 matches brute force on random target layouts."""
+    rng = np.random.default_rng(3)
+    for trial in range(3):
+        data = (rng.random((17, 23)) < 0.05).astype(np.float32)
+        if data.sum() == 0:
+            data[0, 0] = 1
+        agg = create_test_raster(data)
+        out = np.asarray(proximity(agg).data)
+        xs = np.asarray(agg["x"].data)
+        ys = np.asarray(agg["y"].data)
+        expected, _ = brute_force(data, xs, ys, data != 0)
+        np.testing.assert_allclose(out, expected, rtol=1e-5, atol=1e-5)

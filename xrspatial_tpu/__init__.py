@@ -36,7 +36,14 @@ from .multispectral import nbr  # noqa: E402,F401
 from .multispectral import ndvi  # noqa: E402,F401
 from .multispectral import savi  # noqa: E402,F401
 from .multispectral import sipi  # noqa: E402,F401
+from .pathfinding import a_star_search  # noqa: E402,F401
 from .perlin import perlin  # noqa: E402,F401
+from .proximity import allocation  # noqa: E402,F401
+from .proximity import direction  # noqa: E402,F401
+from .proximity import euclidean_distance  # noqa: E402,F401
+from .proximity import great_circle_distance  # noqa: E402,F401
+from .proximity import manhattan_distance  # noqa: E402,F401
+from .proximity import proximity  # noqa: E402,F401
 from .slope import slope  # noqa: E402,F401
 from .terrain import generate_terrain  # noqa: E402,F401
 from .zonal import apply as zonal_apply  # noqa: E402,F401

@@ -1,0 +1,177 @@
+"""Proximity / allocation / direction via jump-flood distance transform.
+
+TPU-native counterpart of reference ``xrspatial/proximity.py``: the GDAL
+4-sweep dynamic program (proximity.py:442-601) becomes an O(log n)-round
+jump-flood transform (kernels/jfa.py) that also carries nearest-target
+coordinates — allocation (nearest target's raster value) and direction
+(compass bearing to nearest target, proximity.py:238-258) fall out of the
+same state.  ``max_distance`` masks the result; there is no single-chunk
+fallback cliff (reference proximity.py:605-612).
+
+Note on ties: when several targets are exactly equidistant the reference's
+sweep picks one scan-order-dependent target; the jump flood may pick a
+different (equally near) one, so allocation/direction can differ only at
+exactly-equidistant pixels.  Distances agree everywhere.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+from .dataset_support import supports_dataset
+from .kernels.jfa import (EUCLIDEAN, GREAT_CIRCLE, MANHATTAN, jump_flood,
+                          metric_distance)
+from .utils import wrap_like
+from .xrlib import DataArray
+
+__all__ = ["proximity", "allocation", "direction", "euclidean_distance",
+           "great_circle_distance", "manhattan_distance",
+           "DISTANCE_METRICS"]
+
+DISTANCE_METRICS = {
+    "EUCLIDEAN": EUCLIDEAN,
+    "GREAT_CIRCLE": GREAT_CIRCLE,
+    "MANHATTAN": MANHATTAN,
+}
+
+PROXIMITY, ALLOCATION, DIRECTION = 0, 1, 2
+
+
+# -- scalar distance helpers (public API parity, proximity.py:38-219) -------
+
+def euclidean_distance(x1: float, x2: float, y1: float, y2: float) -> float:
+    """Straight-line distance between (x1, y1) and (x2, y2)."""
+    x = x1 - x2
+    y = y1 - y2
+    return float(np.sqrt(x * x + y * y))
+
+
+def manhattan_distance(x1: float, x2: float, y1: float, y2: float) -> float:
+    """Sum of |dx| + |dy| between (x1, y1) and (x2, y2)."""
+    return float(abs(x1 - x2) + abs(y1 - y2))
+
+
+def great_circle_distance(x1: float, x2: float, y1: float, y2: float,
+                          radius: float = 6378137) -> float:
+    """Haversine distance between two (lon, lat) points in degrees."""
+    for val, name, lo, hi in ((x1, "x-coordinate of the first point", -180, 180),
+                              (x2, "x-coordinate of the second point", -180, 180),
+                              (y1, "y-coordinate of the first point", -90, 90),
+                              (y2, "y-coordinate of the second point", -90, 90)):
+        if val > hi or val < lo:
+            raise ValueError(
+                f"Invalid {name}. Must be in the range [{lo}, {hi}]")
+    lat1, lon1, lat2, lon2 = (np.radians(y1), np.radians(x1),
+                              np.radians(y2), np.radians(x2))
+    a = (np.sin((lat2 - lat1) / 2.0) ** 2
+         + np.cos(lat1) * np.cos(lat2) * np.sin((lon2 - lon1) / 2.0) ** 2)
+    return float(radius * 2 * np.arcsin(np.sqrt(a)))
+
+
+# -- shared driver ----------------------------------------------------------
+
+def _target_mask(img, target_values):
+    if len(target_values) == 0:
+        return (img != 0) & jnp.isfinite(img)
+    mask = jnp.zeros(img.shape, bool)
+    for v in np.asarray(target_values).ravel():
+        mask = mask | (img == v)
+    return mask
+
+
+def _compass_direction(px, tx, py, ty_coord):
+    """Compass bearing from pixel to its nearest target
+    (reference proximity.py:238-258); 0 at the target itself."""
+    x = tx - px
+    y = ty_coord - py
+    d = jnp.arctan2(-y, x) * 57.29578
+    d = jnp.where(d < 0, 90.0 - d,
+                  jnp.where(d > 90.0, 360.0 - d + 90.0, 90.0 - d))
+    same = (x == 0) & (y == 0)
+    return jnp.where(same, 0.0, d).astype(jnp.float32)
+
+
+def _process(raster, x, y, target_values, max_distance, distance_metric,
+             mode):
+    if tuple(raster.dims) != (y, x):
+        raise ValueError(
+            "raster.coords should be named as coordinates:"
+            "({0}, {1})".format(y, x))
+
+    metric = DISTANCE_METRICS.get(distance_metric, EUCLIDEAN)
+    if max_distance is None:
+        max_distance = np.inf
+
+    xs = jnp.asarray(np.asarray(raster[x].data, dtype=np.float32))
+    ys = jnp.asarray(np.asarray(raster[y].data, dtype=np.float32))
+    img = jnp.asarray(raster.data)
+
+    mask = _target_mask(img, target_values)
+    dist, t_row, t_col = jump_flood(mask, xs, ys, metric)
+
+    reachable = (t_row >= 0) & (dist <= max_distance)
+    if mode == PROXIMITY:
+        out = jnp.where(reachable, dist, jnp.nan)
+    elif mode == ALLOCATION:
+        out = jnp.where(reachable,
+                        img[jnp.clip(t_row, 0, None),
+                            jnp.clip(t_col, 0, None)].astype(jnp.float32),
+                        jnp.nan)
+    else:  # DIRECTION
+        # float64 epilogue: the reference computes bearings in f64 with an
+        # imprecise degree constant (57.29578); the branch at exact-north
+        # (atan2 -> 90 deg) only matches in f64
+        from .utils import x64
+        with x64():
+            h, w = img.shape
+            xs64 = jnp.asarray(np.asarray(raster[x].data, dtype=np.float64))
+            ys64 = jnp.asarray(np.asarray(raster[y].data, dtype=np.float64))
+            rows = jnp.arange(h, dtype=jnp.int32)[:, None] \
+                * jnp.ones((1, w), jnp.int32)
+            cols = jnp.ones((h, 1), jnp.int32) \
+                * jnp.arange(w, dtype=jnp.int32)[None, :]
+            px = xs64[cols]
+            py = ys64[rows]
+            tx = xs64[jnp.clip(t_col, 0, None)]
+            tyc = ys64[jnp.clip(t_row, 0, None)]
+            out = jnp.where(reachable, _compass_direction(px, tx, py, tyc),
+                            jnp.nan)
+    return out
+
+
+@supports_dataset
+def proximity(raster: DataArray, x: str = "x", y: str = "y",
+              target_values: list = [], max_distance: float = np.inf,
+              distance_metric: str = "EUCLIDEAN") -> DataArray:
+    """Distance from every pixel to the nearest target pixel.
+
+    Targets are pixels whose value is in `target_values` (or any non-zero
+    finite pixel when the list is empty).  Distances are measured in
+    coordinate space with the chosen metric (EUCLIDEAN, GREAT_CIRCLE,
+    MANHATTAN); pixels farther than `max_distance` are NaN.
+    """
+    out = _process(raster, x, y, target_values, max_distance,
+                   distance_metric, PROXIMITY)
+    return wrap_like(raster, out, None)
+
+
+@supports_dataset
+def allocation(raster: DataArray, x: str = "x", y: str = "y",
+               target_values: list = [], max_distance: float = np.inf,
+               distance_metric: str = "EUCLIDEAN") -> DataArray:
+    """Raster value of each pixel's nearest target."""
+    out = _process(raster, x, y, target_values, max_distance,
+                   distance_metric, ALLOCATION)
+    return wrap_like(raster, out, None)
+
+
+@supports_dataset
+def direction(raster: DataArray, x: str = "x", y: str = "y",
+              target_values: list = [], max_distance: float = np.inf,
+              distance_metric: str = "EUCLIDEAN") -> DataArray:
+    """Compass direction (90=E, 180=S, 270=W, 360=N, 0=self) from each
+    pixel to its nearest target."""
+    out = _process(raster, x, y, target_values, max_distance,
+                   distance_metric, DIRECTION)
+    return wrap_like(raster, out, None)
