@@ -1,0 +1,137 @@
+"""Tests for viewshed (invariant-based, mirroring reference test_viewshed)."""
+
+import numpy as np
+import pytest
+
+from general_checks import create_test_raster
+
+from xrspatial_tpu.viewshed import viewshed
+
+
+def _raster(data):
+    agg = create_test_raster(data.astype(np.float64), attrs={"res": (1, 1)})
+    return agg
+
+
+def test_invalid_viewpoint():
+    agg = _raster(np.zeros((5, 5)))
+    xs = np.asarray(agg["x"].data)
+    ys = np.asarray(agg["y"].data)
+    with pytest.raises(ValueError):
+        viewshed(agg, x=xs.min() - 1, y=0)
+    with pytest.raises(ValueError):
+        viewshed(agg, x=0, y=ys.max() + 1)
+
+
+def test_viewpoint_is_180():
+    agg = _raster(np.zeros((5, 5)))
+    xs = np.asarray(agg["x"].data)
+    ys = np.asarray(agg["y"].data)
+    v = np.asarray(viewshed(agg, x=xs[2], y=ys[2]).data)
+    assert v[2, 2] == 180.0
+
+
+def test_flat_terrain_all_visible():
+    agg = _raster(np.zeros((6, 7)))
+    xs = np.asarray(agg["x"].data)
+    ys = np.asarray(agg["y"].data)
+    for (r, c) in [(0, 0), (3, 3), (5, 6), (2, 5)]:
+        v = np.asarray(viewshed(agg, x=xs[c], y=ys[r],
+                                observer_elev=1).data)
+        assert (v > -1).all(), (r, c)
+        # terrain below the observer: vertical angle in (0, 90)
+        # (convention: 0 = straight down, 90 = level, 180 = viewpoint)
+        others = v[v != 180.0]
+        assert ((others > 0.0) & (others < 90.0)).all()
+
+
+def test_observer_elev_scenarios():
+    """Port of the reference's elevate-the-viewpoint matrix
+    (test_viewshed.py:95-120): when the observer is above all terrain,
+    everything is visible."""
+    H = W = 5
+    for obs_elev in (-1, 0, 1):
+        for elev_at_vp in (-1, 0, 1):
+            data = np.zeros((H, W))
+            for r in range(H):
+                for c in range(W):
+                    data[:] = 0
+                    data[r, c] = elev_at_vp
+                    agg = _raster(data)
+                    xs = np.asarray(agg["x"].data)
+                    ys = np.asarray(agg["y"].data)
+                    v = np.asarray(viewshed(agg, x=xs[c], y=ys[r],
+                                            observer_elev=obs_elev).data)
+                    assert v[r, c] == 180.0
+                    if (obs_elev + elev_at_vp >= 0
+                            and obs_elev >= abs(elev_at_vp)):
+                        assert (v > -1).all(), (obs_elev, elev_at_vp, r, c)
+
+
+def test_wall_blocks():
+    data = np.zeros((5, 9))
+    data[:, 4] = 10.0  # tall north-south wall
+    agg = _raster(data)
+    xs = np.asarray(agg["x"].data)
+    ys = np.asarray(agg["y"].data)
+    v = np.asarray(viewshed(agg, x=xs[1], y=ys[2]).data)
+    # cells behind the wall (east side) are invisible
+    assert (v[:, 6:] == -1).all()
+    # wall cells themselves are visible
+    assert (v[2, 4] > -1)
+    # cells west of the wall visible
+    assert (v[:, :4] > -1).all()
+
+
+def test_peak_shadows_far_side():
+    data = np.zeros((9, 9))
+    data[4, 4] = 100.0
+    agg = _raster(data)
+    xs = np.asarray(agg["x"].data)
+    ys = np.asarray(agg["y"].data)
+    v = np.asarray(viewshed(agg, x=xs[0], y=ys[4]).data)
+    # the peak hides the cells directly behind it
+    assert v[4, 5] == -1
+    assert v[4, 8] == -1
+    assert v[4, 4] > -1  # the peak is visible
+
+
+def test_symmetry():
+    """Visibility of a symmetric terrain is symmetric
+    (reference test_viewshed.py:97-120 invariant)."""
+    rng = np.random.default_rng(0)
+    half = rng.random((7, 4))
+    center = rng.random((7, 1))
+    data = np.concatenate([half, center, half[:, ::-1]], axis=1)  # mirror
+    agg = _raster(data)
+    xs = np.asarray(agg["x"].data)
+    ys = np.asarray(agg["y"].data)
+    # observer on the mirror axis: visibility mirrors too
+    v = np.asarray(viewshed(agg, x=xs[4], y=ys[3], observer_elev=0.5).data)
+    vis = v > -1
+    np.testing.assert_array_equal(vis, vis[:, ::-1])
+
+
+def test_target_elev_reveals():
+    data = np.zeros((5, 9))
+    data[:, 4] = 2.0  # low wall
+    agg = _raster(data)
+    xs = np.asarray(agg["x"].data)
+    ys = np.asarray(agg["y"].data)
+    v0 = np.asarray(viewshed(agg, x=xs[0], y=ys[2], observer_elev=1).data)
+    vt = np.asarray(viewshed(agg, x=xs[0], y=ys[2], observer_elev=1,
+                             target_elev=50).data)
+    # tall targets visible even behind the wall
+    assert (vt > -1).sum() > (v0 > -1).sum()
+    assert (vt > -1).all()
+
+
+def test_nan_cells_invisible_and_transparent():
+    data = np.zeros((5, 7))
+    data[2, 3] = np.nan
+    agg = _raster(data)
+    xs = np.asarray(agg["x"].data)
+    ys = np.asarray(agg["y"].data)
+    v = np.asarray(viewshed(agg, x=xs[0], y=ys[2], observer_elev=2).data)
+    assert v[2, 3] == -1          # NaN cell itself invisible
+    assert v[2, 4] > -1           # does not block what's behind it

@@ -46,6 +46,7 @@ from .proximity import manhattan_distance  # noqa: E402,F401
 from .proximity import proximity  # noqa: E402,F401
 from .slope import slope  # noqa: E402,F401
 from .terrain import generate_terrain  # noqa: E402,F401
+from .viewshed import viewshed  # noqa: E402,F401
 from .zonal import apply as zonal_apply  # noqa: E402,F401
 from .zonal import crop  # noqa: E402,F401
 from .zonal import crosstab as zonal_crosstab  # noqa: E402,F401

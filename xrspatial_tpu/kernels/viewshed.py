@@ -1,0 +1,252 @@
+"""Viewshed: GRASS r.viewshed semantics, reformulated data-parallel.
+
+The reference (``xrspatial/viewshed.py``) runs Kreveld's radial sweep with a
+flat-array red-black tree (viewshed.py:63-1502) — inherently sequential.
+This module computes the *same* visibility predicate pairwise, fully
+vectorized: a cell C is visible iff no cell B that is closer to the
+viewpoint and whose angular span (enter/exit corner angles,
+viewshed.py:909-1028) covers C's center angle has an interpolated gradient
+(piecewise-linear between enter/center/exit gradients,
+viewshed.py:430-449) above C's gradient.  This is exactly the predicate
+the sweep's status structure evaluates at every CENTER event
+(viewshed.py:1485-1502), without the tree.
+
+Work is O(N^2) over cells, evaluated in target-row chunks on the VPU —
+practical to ~1k^2 rasters on a TPU chip; larger rasters trade exactness
+for the O(N * rays) batched line-of-sight variant (future work, same
+module).
+
+float64 throughout (reference contract, viewshed.py:1549-1561).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from math import pi as PI
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = ["viewshed_grid", "INVISIBLE"]
+
+INVISIBLE = -1
+
+
+def _calculate_angle(ex, ey, vx, vy):
+    """Vectorized port of viewshed.py:1030-1062 (angle in [0, 2pi))."""
+    ang = jnp.arctan(jnp.abs(ey - vy) / jnp.where(ex == vx, 1.0,
+                                                  jnp.abs(ex - vx)))
+    q1 = (ex > vx) & (ey < vy)
+    q2 = (vx > ex) & (vy > ey)
+    q3 = (vx > ex) & (vy < ey)
+    q4 = (vx < ex) & (vy < ey)
+    out = jnp.where(q1, ang,
+          jnp.where(q2, PI - ang,
+          jnp.where(q3, PI + ang,
+          jnp.where(q4, 2.0 * PI - ang, 0.0))))
+    out = jnp.where((vx == ex) & (vy > ey), PI / 2.0, out)
+    out = jnp.where((vx == ex) & (vy < ey), 3.0 * PI / 2.0, out)
+    out = jnp.where((vy == ey) & (ex > vx), 0.0, out)
+    out = jnp.where((vy == ey) & (vx > ex), PI, out)
+    out = jnp.where((ex == vx) & (ey == vy), 0.0, out)
+    return out
+
+
+def _corner_offsets(rows, cols, vp_row, vp_col):
+    """(enter_dy, enter_dx, exit_dy, exit_dx) per cell — vectorized
+    viewshed.py:909-1028 quadrant table."""
+    north = rows < vp_row
+    south = rows > vp_row
+    west = cols < vp_col
+    east = cols > vp_col
+    same_row = rows == vp_row
+    same_col = cols == vp_col
+
+    # enter corner
+    e_dy = jnp.where(north & west, -0.5,
+            jnp.where(north & same_col, 0.5,
+            jnp.where(north & east, 0.5,
+            jnp.where(same_row & east, 0.5,
+            jnp.where(south & east, 0.5,
+            jnp.where(south & same_col, -0.5,
+            jnp.where(south & west, -0.5,
+            jnp.where(same_row & west, -0.5, 0.0))))))))
+    e_dx = jnp.where(north & west, 0.5,
+            jnp.where(north & same_col, 0.5,
+            jnp.where(north & east, 0.5,
+            jnp.where(same_row & east, -0.5,
+            jnp.where(south & east, -0.5,
+            jnp.where(south & same_col, -0.5,
+            jnp.where(south & west, -0.5,
+            jnp.where(same_row & west, 0.5, 0.0))))))))
+    # exit corner
+    x_dy = jnp.where(north & west, 0.5,
+            jnp.where(north & same_col, 0.5,
+            jnp.where(north & east, -0.5,
+            jnp.where(same_row & east, -0.5,
+            jnp.where(south & east, -0.5,
+            jnp.where(south & same_col, -0.5,
+            jnp.where(south & west, 0.5,
+            jnp.where(same_row & west, 0.5, 0.0))))))))
+    x_dx = jnp.where(north & west, -0.5,
+            jnp.where(north & same_col, -0.5,
+            jnp.where(north & east, -0.5,
+            jnp.where(same_row & east, -0.5,
+            jnp.where(south & east, 0.5,
+            jnp.where(south & same_col, 0.5,
+            jnp.where(south & west, 0.5,
+            jnp.where(same_row & west, 0.5, 0.0))))))))
+    return e_dy, e_dx, x_dy, x_dx
+
+
+def _corner_elev(data, dy_sign, dx_sign):
+    """Mean of the 4 cells sharing the corner at (row+dy, col+dx); falls
+    back to the cell's own value when any of the 4 is OOB/NaN
+    (viewshed.py:885-905)."""
+    h, w = data.shape
+    p = jnp.pad(data, 1, constant_values=jnp.nan)
+    center = data
+
+    def nb(dy, dx):
+        return jax.lax.dynamic_slice(p, (1 + dy, 1 + dx), (h, w))
+
+    out = jnp.full((h, w), jnp.nan)
+    for sy in (-1, 1):
+        for sx in (-1, 1):
+            diag = nb(sy, sx)
+            vert = nb(sy, 0)
+            horiz = nb(0, sx)
+            avg = (diag + vert + horiz + center) / 4.0
+            avg = jnp.where(jnp.isnan(avg), center, avg)
+            sel = (dy_sign == sy * 0.5) & (dx_sign == sx * 0.5)
+            out = jnp.where(sel, avg, out)
+    return jnp.where((dy_sign == 0.0) & (dx_sign == 0.0), center, out)
+
+
+def _gradient(dy_px, dx_px, elev, vp_elev, ew_res, ns_res):
+    """atan((elev - vp_elev)/dist); +-pi/2 at the viewpoint
+    (viewshed.py:1072-1096)."""
+    diff = elev - vp_elev
+    d2 = (dx_px * ew_res) ** 2 + (dy_px * ns_res) ** 2
+    grad = jnp.arctan(diff / jnp.sqrt(jnp.where(d2 == 0, 1.0, d2)))
+    at_vp = d2 == 0
+    return jnp.where(at_vp, jnp.sign(diff) * PI / 2.0, grad)
+
+
+@partial(jax.jit, static_argnames=("chunk",))
+def _pairwise_visibility(key, a0, a1, a2, g0, g1, g2, grad_t, is_vp,
+                         chunk=256):
+    """max blocked gradient per cell -> visibility comparison.
+
+    All inputs flat (N,).  Evaluated in chunks of targets against all
+    potential blockers.
+    """
+    n = key.shape[0]
+    two_pi = 2.0 * PI
+
+    crossing = a0 > a2
+    # blocker invalid if its gradients are NaN (NODATA never blocks,
+    # matching NaN-comparison semantics in the sweep)
+    finite_b = jnp.isfinite(g1)
+    valid_b = finite_b & ~is_vp
+
+    def chunk_max(alpha_c, key_c, idx_c):
+        # (C, N) interactions
+        al = alpha_c[:, None]
+        cover = jnp.where(crossing[None],
+                          (al > a0[None]) | (al < a2[None]),
+                          (al > a0[None]) & (al < a2[None]))
+        closer = key[None] < key_c[:, None]
+        not_self = jnp.arange(n)[None] != idx_c[:, None]
+        active = cover & closer & not_self & valid_b[None]
+
+        # interpolation in unwrapped angle coordinates
+        a1e = jnp.where(crossing & (a1 < a0), a1 + two_pi, a1)[None]
+        a2e = jnp.where(crossing & (a2 < a0), a2 + two_pi, a2)[None]
+        ale = jnp.where(crossing[None] & (al < a0[None]), al + two_pi, al)
+
+        seg1 = ale < a1e
+        seg2 = ale > a1e
+        d10 = jnp.where(a1e != a0[None], a1e - a0[None], 1.0)
+        d21 = jnp.where(a2e != a1e, a2e - a1e, 1.0)
+        gi = jnp.where(
+            seg1, g1[None] + (g0[None] - g1[None]) * (a1e - ale) / d10,
+            jnp.where(seg2,
+                      g1[None] + (g2[None] - g1[None]) * (ale - a1e) / d21,
+                      g1[None]))
+        gi = jnp.where(active, gi, -jnp.inf)
+        return jnp.max(gi, axis=1)
+
+    n_chunks = -(-n // chunk)
+    n_pad = n_chunks * chunk
+    alpha_p = jnp.pad(a1, (0, n_pad - n))
+    key_p = jnp.pad(key, (0, n_pad - n))
+    idx_p = jnp.pad(jnp.arange(n), (0, n_pad - n), constant_values=-1)
+
+    blocked = jax.lax.map(
+        lambda args: chunk_max(*args),
+        (alpha_p.reshape(n_chunks, chunk), key_p.reshape(n_chunks, chunk),
+         idx_p.reshape(n_chunks, chunk)))
+    blocked = blocked.reshape(n_pad)[:n]
+    return blocked <= grad_t
+
+
+@partial(jax.jit, static_argnames=("shape",))
+def _viewshed_impl(data, vp_row, vp_col, observer_elev, target_elev,
+                   ew_res, ns_res, shape):
+    h, w = shape
+    rows = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0).astype(jnp.float64)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1).astype(jnp.float64)
+    vp_r = vp_row.astype(jnp.float64)
+    vp_c = vp_col.astype(jnp.float64)
+    vp_elev = data[vp_row, vp_col] + observer_elev
+
+    e_dy, e_dx, x_dy, x_dx = _corner_offsets(rows, cols, vp_r, vp_c)
+    enter_elev = _corner_elev(data, e_dy, e_dx)
+    exit_elev = _corner_elev(data, x_dy, x_dx)
+
+    # angles: note _calculate_angle takes (x, y) with y as ROW index and
+    # "north" = smaller row
+    a0 = _calculate_angle(cols + e_dx, rows + e_dy, vp_c, vp_r)
+    a1 = _calculate_angle(cols, rows, vp_c, vp_r)
+    a2 = _calculate_angle(cols + x_dx, rows + x_dy, vp_c, vp_r)
+
+    g0 = _gradient(rows + e_dy - vp_r, cols + e_dx - vp_c, enter_elev,
+                   vp_elev, ew_res, ns_res)
+    g1 = _gradient(rows - vp_r, cols - vp_c, data, vp_elev, ew_res, ns_res)
+    g2 = _gradient(rows + x_dy - vp_r, cols + x_dx - vp_c, exit_elev,
+                   vp_elev, ew_res, ns_res)
+    grad_t = _gradient(rows - vp_r, cols - vp_c, data + target_elev,
+                       vp_elev, ew_res, ns_res)
+
+    key = ((cols - vp_c) * ew_res) ** 2 + ((rows - vp_r) * ns_res) ** 2
+    is_vp = (rows == vp_r) & (cols == vp_c)
+
+    visible = _pairwise_visibility(
+        key.ravel(), a0.ravel(), a1.ravel(), a2.ravel(),
+        g0.ravel(), g1.ravel(), g2.ravel(), grad_t.ravel(),
+        is_vp.ravel()).reshape(h, w)
+
+    # vertical angle for visible cells (viewshed.py:1257-1273)
+    diff = vp_elev - (data + target_elev)
+    dist = jnp.sqrt(jnp.where(key == 0, 1.0, key))
+    vert = jnp.where(
+        diff == 0.0, 90.0,
+        jnp.where(diff > 0, jnp.arctan(dist / jnp.where(diff == 0, 1.0,
+                                                        diff)) * 180.0 / PI,
+                  jnp.arctan(jnp.abs(diff) / dist) * 180.0 / PI + 90.0))
+    out = jnp.where(visible, vert, float(INVISIBLE))
+    out = jnp.where(is_vp, 180.0, out)
+    return out
+
+
+def viewshed_grid(data, vp_row: int, vp_col: int, observer_elev: float,
+                  target_elev: float, ew_res: float, ns_res: float):
+    """Visibility grid (vertical angles, INVISIBLE=-1, viewpoint=180)."""
+    data = jnp.asarray(data, dtype=jnp.float64)
+    return _viewshed_impl(data, jnp.int32(vp_row), jnp.int32(vp_col),
+                          jnp.float64(observer_elev),
+                          jnp.float64(target_elev),
+                          jnp.float64(ew_res), jnp.float64(ns_res),
+                          data.shape)

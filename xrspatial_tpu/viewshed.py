@@ -1,0 +1,65 @@
+"""Viewshed: visible cells from an observer location.
+
+TPU-native counterpart of reference ``xrspatial/viewshed.py``: same GRASS
+r.viewshed visibility predicate, evaluated data-parallel
+(kernels/viewshed.py) instead of the sequential radial sweep + red-black
+tree.  Output: vertical angle in degrees [0, 180] for visible cells
+(0 = straight up, 90 = level, 180 = the viewpoint itself), -1 for
+invisible cells.
+"""
+
+from __future__ import annotations
+
+from typing import Union
+
+import numpy as np
+
+from .kernels.viewshed import viewshed_grid
+from .utils import wrap_like, x64
+from .xrlib import DataArray
+
+__all__ = ["viewshed"]
+
+OBS_ELEV = 0
+TARGET_ELEV = 0
+
+
+def viewshed(raster: DataArray,
+             x: Union[int, float],
+             y: Union[int, float],
+             observer_elev: float = OBS_ELEV,
+             target_elev: float = TARGET_ELEV) -> DataArray:
+    """Calculate the viewshed of `raster` for an observer at (x, y).
+
+    Parameters
+    ----------
+    raster : DataArray
+        2D elevation raster with 'x' and 'y' coordinates.
+    x, y : observer location in coordinate space (snapped to the nearest
+        cell, reference viewshed.py:1526-1533).
+    observer_elev : float
+        Height of the observer above the terrain.
+    target_elev : float
+        Height of hypothetical targets above the terrain; a cell is
+        visible if a target at that height above it can be seen.
+    """
+    y_coords = np.asarray(raster['y'].data)
+    x_coords = np.asarray(raster['x'].data)
+
+    if not (x_coords.min() <= x <= x_coords.max()):
+        raise ValueError("x argument outside of raster x_range")
+    if not (y_coords.min() <= y <= y_coords.max()):
+        raise ValueError("y argument outside of raster y_range")
+
+    height, width = raster.shape
+    y_view = int(np.argmin(np.abs(y_coords - y)))
+    x_view = int(np.argmin(np.abs(x_coords - x)))
+
+    ew_res = (x_coords[-1] - x_coords[0]) / (width - 1)
+    ns_res = (y_coords[-1] - y_coords[0]) / (height - 1)
+
+    with x64():
+        out = viewshed_grid(np.asarray(raster.data, dtype=np.float64),
+                            y_view, x_view, observer_elev, target_elev,
+                            ew_res, ns_res)
+    return wrap_like(raster, out, raster.name)
