@@ -197,3 +197,19 @@ def test_summarize_terrain_requires_name(elevation_raster_no_nans):
     agg.name = None
     with pytest.raises(NameError):
         summarize_terrain(agg)
+
+
+def test_hillshade_shadows():
+    # a tall wall to the southwest casts shadows northeast of it
+    data = np.zeros((32, 32), dtype=np.float32)
+    data[16, :] = 50.0  # east-west wall
+    agg = create_test_raster(data, attrs={"res": (1, 1)})
+    out = np.asarray(hillshade(agg, azimuth=180, angle_altitude=10,
+                               shadows=True).data)
+    assert out.shape == (32, 32)
+    assert np.nanmin(out) >= 0.0 and np.nanmax(out) <= 1.0
+    # azimuth 180: sun due south (low) -> cells north of the wall shadowed.
+    # reference coordinate layout: row 0 is north (max y)
+    north_side = out[5:15, 5:25]
+    south_side = out[18:28, 5:25]
+    assert north_side.mean() < south_side.mean()

@@ -44,14 +44,18 @@ def hillshade(agg: DataArray,
         (replaces the reference's OptiX ray-traced path).
     """
     data = to_jax(agg)
-    out = run_stencil(hillshade_jit, 1, data, jnp.float32(azimuth),
-                      jnp.float32(angle_altitude))
     if shadows:
-        from .kernels.shadows import shadow_mask
+        # shadow path mirrors the reference's RTX output semantics
+        # (Lambert + halving in shadow, gpu_rtx/hillshade.py:96-123),
+        # implemented as a batched ray-march — TPUs have no RT cores
+        from .kernels.shadows import hillshade_shadows
         from .utils import get_dataarray_resolution
         cellsize_x, cellsize_y = get_dataarray_resolution(agg)
-        lit = shadow_mask(data, jnp.float32(azimuth),
-                          jnp.float32(angle_altitude),
-                          jnp.float32(cellsize_x), jnp.float32(cellsize_y))
-        out = jnp.where(lit, out, out * 0.2)
+        out = hillshade_shadows(data, jnp.float32(azimuth),
+                                jnp.float32(angle_altitude),
+                                jnp.float32(cellsize_x),
+                                jnp.float32(abs(cellsize_y)))
+    else:
+        out = run_stencil(hillshade_jit, 1, data, jnp.float32(azimuth),
+                          jnp.float32(angle_altitude))
     return wrap_like(agg, out, name)
