@@ -1,0 +1,47 @@
+"""Tests for datasets, esri, CLI, dataset_support passthrough."""
+
+import numpy as np
+import pytest
+
+from xrspatial_tpu.datasets import available_datasets, get_data, make_terrain
+from xrspatial_tpu.esri import featureset_to_dataframe
+
+
+def test_make_terrain():
+    t = make_terrain(shape=(64, 80), scale=20.0, octaves=3)
+    assert t.shape == (64, 80)
+    assert t.name == "terrain"
+    assert t.attrs == {"res": 1}
+    data = np.asarray(t.data)
+    assert np.isfinite(data).all()
+    assert data.std() > 0
+    # deterministic (fixed base seed 42)
+    t2 = make_terrain(shape=(64, 80), scale=20.0, octaves=3)
+    np.testing.assert_array_equal(data, np.asarray(t2.data))
+
+
+def test_get_data_unknown():
+    with pytest.raises(ValueError):
+        get_data("nope-not-real")
+
+
+def test_featureset_to_dataframe():
+    fs = {
+        "features": [
+            {"attributes": {"id": 1, "v": 10.0}},
+            {"attributes": {"id": 2, "v": 20.0}},
+        ],
+        "fieldAliases": {"v": "value"},
+    }
+    df = featureset_to_dataframe(fs)
+    assert list(df.columns) == ["id", "v"]
+    df2 = featureset_to_dataframe(fs, use_aliases=True)
+    assert "value" in df2.columns
+
+
+def test_cli_info_and_examples(capsys):
+    from xrspatial_tpu.__main__ import main
+    assert main(["info"]) == 0
+    assert "xrspatial_tpu" in capsys.readouterr().out
+    assert main(["examples"]) == 0
+    assert main(["bogus"]) == 1
