@@ -92,3 +92,40 @@ def test_output_stays_sharded(elevation_raster_no_nans):
     out = slope(agg)
     from xrspatial_tpu.parallel.halo import get_raster_mesh
     assert get_raster_mesh(out.data) is mesh
+
+
+def test_sharded_zonal_stats(zones_values=None):
+    """Zonal segment reductions work on mesh-sharded inputs via GSPMD."""
+    from xrspatial_tpu.zonal import stats
+    mesh = make_raster_mesh(2, 2)
+    zones_data = np.zeros((10, 10), dtype=np.int64)
+    zones_data[:5, 5:] = 10
+    zones_data[5:, :5] = 20
+    zones_data[5:, 5:] = 30
+    values_data = np.arange(100, dtype=np.float64).reshape(10, 10)
+    zones = create_test_raster(zones_data, name="zones")
+    values = create_test_raster(values_data, name="values")
+    zones.data = distribute(zones.data, mesh)
+    values.data = distribute(values.data, mesh)
+    df = stats(zones=zones, values=values, stats_funcs=["mean", "count"])
+    np.testing.assert_allclose(df["mean"], [22.0, 27.0, 72.0, 77.0])
+    np.testing.assert_allclose(df["count"], [25] * 4)
+
+
+def test_sharded_proximity():
+    """Jump flood on a mesh-sharded raster (GSPMD handles the shifts)."""
+    from xrspatial_tpu.proximity import proximity
+    mesh = make_raster_mesh(2, 2)
+    data = np.zeros((16, 16), dtype=np.float32)
+    data[3, 4] = 1.0
+    data[12, 12] = 1.0
+    agg = create_test_raster(data, attrs={"res": (1, 1)})
+    agg.data = distribute(agg.data, mesh)
+    out = np.asarray(proximity(agg).data)
+    # exact check vs brute force at a few cells
+    xs = np.asarray(agg["x"].data)
+    ys = np.asarray(agg["y"].data)
+    for (i, j) in [(0, 0), (8, 8), (15, 0)]:
+        d = min(np.hypot(xs[j] - xs[4], ys[i] - ys[3]),
+                np.hypot(xs[j] - xs[12], ys[i] - ys[12]))
+        assert abs(out[i, j] - d) < 1e-4

@@ -1,0 +1,203 @@
+"""Pallas TPU kernel: fused 3x3 surface stencil (slope/aspect/curvature/
+hillshade) in one streaming pass.
+
+The XLA path (kernels/surface.py) materializes a NaN-padded copy before the
+shifted reads — one extra HBM round trip per op.  This kernel streams
+(TILE+2)-windows HBM->VMEM via async DMA and computes every requested
+surface product from the 9 in-register neighbor views, so a
+``summarize_terrain``-style multi-output costs ONE read of the DEM total:
+
+    HBM traffic = 1 read + K writes   (XLA path: ~2 reads per product)
+
+Replaces the reference's per-op Numba/CUDA kernels (slope.py:56-76,
+aspect.py:56-90, curvature.py:31-41, hillshade.py:20-35) with one
+parameterized program.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .surface import DEG
+
+__all__ = ["surface_pallas"]
+
+TILE_H = 256
+TILE_W = 512
+
+HALF_PI = float(jnp.pi) / 2.0
+
+
+def _atan(x):
+    """float32 arctangent — Mosaic has no atan primitive.
+
+    Odd minimax polynomial on |t|<=1 with 1/x range reduction;
+    max error ~1e-7 (well inside the 1e-5 parity contract).
+    """
+    ax = jnp.abs(x)
+    big = ax > 1.0
+    t = jnp.where(big, 1.0 / jnp.maximum(ax, 1e-30), ax)
+    t2 = t * t
+    p = jnp.float32(-0.0040540580)
+    for c in (0.0218612288, -0.0559098861, 0.0964200441, -0.1390853351,
+              0.1994653599, -0.3332985605, 0.9999993329):
+        p = p * t2 + jnp.float32(c)
+    r = t * p
+    r = jnp.where(big, HALF_PI - r, r)
+    return jnp.where(x < 0.0, -r, r)
+
+
+def _atan2(y, x):
+    """float32 atan2 from _atan with quadrant corrections."""
+    safe_x = jnp.where(x == 0.0, 1.0, x)
+    base = _atan(y / safe_x)
+    pi = jnp.float32(jnp.pi)
+    out = jnp.where(
+        x > 0.0, base,
+        jnp.where(x < 0.0,
+                  jnp.where(y < 0.0, base - pi, base + pi),
+                  jnp.where(y > 0.0, HALF_PI,
+                            jnp.where(y < 0.0, -HALF_PI, 0.0))))
+    # NaN inputs fall through every comparison to the 0.0 branch — restore
+    return jnp.where(jnp.isnan(x) | jnp.isnan(y), jnp.nan, out)
+
+
+def _round_up(x, m):
+    return -(-x // m) * m
+
+
+def _make_kernel(which, th, tw, sh, sw):
+    def kernel(csx_ref, csy_ref, az_ref, alt_ref, in_hbm, out_ref,
+               scratch, sem):
+        # double-buffered halo DMA: prefetch tile t+1 while computing t
+        i = pl.program_id(0)
+        j = pl.program_id(1)
+        gi = pl.num_programs(0)
+        gj = pl.num_programs(1)
+        t = i * gj + j
+        slot = jax.lax.rem(t, 2)
+
+        def start_dma(ti, tj, s):
+            pltpu.make_async_copy(
+                in_hbm.at[pl.ds(ti * th, sh), pl.ds(tj * tw, sw)],
+                scratch.at[s], sem.at[s]).start()
+
+        @pl.when(t == 0)
+        def _():
+            start_dma(i, j, 0)
+
+        nt = t + 1
+        ni = nt // gj
+        nj = jax.lax.rem(nt, gj)
+
+        @pl.when(nt < gi * gj)
+        def _():
+            start_dma(ni, nj, jax.lax.rem(nt, 2))
+
+        pltpu.make_async_copy(
+            in_hbm.at[pl.ds(i * th, sh), pl.ds(j * tw, sw)],
+            scratch.at[slot], sem.at[slot]).wait()
+
+        def shift(dy, dx):
+            return scratch[slot, 1 + dy:1 + dy + th, 1 + dx:1 + dx + tw]
+
+        a = shift(-1, -1)
+        b = shift(-1, 0)
+        c = shift(-1, 1)
+        d = shift(0, -1)
+        e = shift(0, 0)
+        f = shift(0, 1)
+        g = shift(1, -1)
+        h = shift(1, 0)
+        ii = shift(1, 1)
+
+        csx = csx_ref[0, 0]
+        csy = csy_ref[0, 0]
+
+        need_horn = any(s in which for s in ("slope", "aspect"))
+        if need_horn:
+            dzdx8 = (c + 2.0 * f + ii) - (a + 2.0 * d + g)
+            dzdy8 = (g + 2.0 * h + ii) - (a + 2.0 * b + c)
+
+        for k, stat in enumerate(which):
+            if stat == "slope":
+                gx = dzdx8 / (8.0 * csx)
+                gy = dzdy8 / (8.0 * csy)
+                out_ref[k] = _atan(jnp.sqrt(gx * gx + gy * gy)) * DEG
+            elif stat == "aspect":
+                gx = dzdx8 / 8.0
+                gy = dzdy8 / 8.0
+                angle = _atan2(gy, -gx) * (180.0 / jnp.pi)
+                compass = jnp.where(
+                    angle < 0.0, 90.0 - angle,
+                    jnp.where(angle > 90.0, 450.0 - angle, 90.0 - angle))
+                flat = (gx == 0.0) & (gy == 0.0)
+                out_ref[k] = jnp.where(flat, -1.0, compass)
+            elif stat == "curvature":
+                cs = (csx + csy) * 0.5
+                dd = (h + b) * 0.5 - e
+                ee = (f + d) * 0.5 - e
+                out_ref[k] = -2.0 * (dd + ee) * 100.0 / (cs * cs)
+            elif stat == "hillshade":
+                gxr = (h - b) * 0.5
+                gyc = (f - d) * 0.5
+                az = 360.0 - az_ref[0, 0]
+                slope_r = jnp.pi / 2.0 - _atan(
+                    jnp.sqrt(gxr * gxr + gyc * gyc))
+                aspect_r = _atan2(-gxr, gyc)
+                azrad = az * jnp.pi / 180.0
+                altrad = alt_ref[0, 0] * jnp.pi / 180.0
+                shaded = (jnp.sin(altrad) * jnp.sin(slope_r)
+                          + jnp.cos(altrad) * jnp.cos(slope_r)
+                          * jnp.cos((azrad - jnp.pi / 2.0) - aspect_r))
+                out_ref[k] = (shaded + 1.0) / 2.0
+
+    return kernel
+
+
+@partial(jax.jit, static_argnames=("which",))
+def surface_pallas(data, cellsize_x, cellsize_y, azimuth, angle_altitude,
+                   which=("slope",)):
+    """(K, H, W) stacked surface products with 1-cell NaN borders.
+
+    One streaming pass computes every product in `which` (subset of
+    slope/aspect/curvature/hillshade).
+    """
+    data = data.astype(jnp.float32)
+    h, w = data.shape
+    th = min(TILE_H, _round_up(max(8, h), 8))
+    tw = min(TILE_W, _round_up(max(128, w), 128))
+    hp = -(-h // th) * th
+    wp = -(-w // tw) * tw
+    sh = _round_up(th + 2, 8)
+    sw = _round_up(tw + 2, 128)
+
+    padded = jnp.pad(
+        data, ((1, (hp - th + sh) - h - 1), (1, (wp - tw + sw) - w - 1)),
+        constant_values=jnp.nan)
+
+    k = len(which)
+    scalar = lambda v: jnp.full((1, 1), v, jnp.float32)  # noqa: E731
+    smem = pl.BlockSpec(memory_space=pltpu.SMEM)
+    out = pl.pallas_call(
+        _make_kernel(which, th, tw, sh, sw),
+        grid=(hp // th, wp // tw),
+        in_specs=[smem, smem, smem, smem,
+                  pl.BlockSpec(memory_space=pltpu.ANY)],
+        out_specs=pl.BlockSpec((k, th, tw), lambda i, j: (0, i, j),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((k, hp, wp), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((2, sh, sw), jnp.float32),
+                        pltpu.SemaphoreType.DMA((2,))],
+        cost_estimate=pl.CostEstimate(
+            flops=30 * k * hp * wp,
+            bytes_accessed=(hp * wp * 4) * (1 + k),
+            transcendentals=2 * k * hp * wp),
+    )(scalar(cellsize_x), scalar(cellsize_y), scalar(azimuth),
+      scalar(angle_altitude), padded)
+    return out[:, :h, :w]
