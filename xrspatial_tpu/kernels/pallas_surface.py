@@ -1,17 +1,19 @@
 """Pallas TPU kernel: fused 3x3 surface stencil (slope/aspect/curvature/
 hillshade) in one streaming pass.
 
-The XLA path (kernels/surface.py) materializes a NaN-padded copy before the
-shifted reads — one extra HBM round trip per op.  This kernel streams
-(TILE+2)-windows HBM->VMEM via async DMA and computes every requested
-surface product from the 9 in-register neighbor views, so a
-``summarize_terrain``-style multi-output costs ONE read of the DEM total:
+This kernel streams (TILE+2)-windows HBM->VMEM via async DMA and computes
+every requested surface product from the 9 in-register neighbor views
+(HBM traffic = 1 read + K writes).  Replaces the reference's per-op
+Numba/CUDA kernels (slope.py:56-76, aspect.py:56-90, curvature.py:31-41,
+hillshade.py:20-35) with one parameterized program.
 
-    HBM traffic = 1 read + K writes   (XLA path: ~2 reads per product)
-
-Replaces the reference's per-op Numba/CUDA kernels (slope.py:56-76,
-aspect.py:56-90, curvature.py:31-41, hillshade.py:20-35) with one
-parameterized program.
+PERF STATUS (v5e, 8k^2): the XLA shifted-reads path (kernels/surface.py)
+currently beats this kernel (10 ms vs 16 ms for 4 products) because the
+halo DMA here is serialized with compute — cross-grid-step double
+buffering deadlocks under the Mosaic runtime (works in interpret mode) and
+needs the emit_pipeline API.  The ops therefore default to the XLA path;
+this kernel is kept tested (interpret-mode parity) as the optimization
+groundwork.
 """
 
 from __future__ import annotations
@@ -74,37 +76,20 @@ def _round_up(x, m):
 def _make_kernel(which, th, tw, sh, sw):
     def kernel(csx_ref, csy_ref, az_ref, alt_ref, in_hbm, out_ref,
                scratch, sem):
-        # double-buffered halo DMA: prefetch tile t+1 while computing t
+        # NOTE: cross-grid-step DMA prefetch (double buffering) deadlocks
+        # under the Mosaic runtime here (fine in interpret mode) — the
+        # single-buffered copy keeps the kernel ~HBM-bound for the
+        # multi-output case, which is where this kernel wins
         i = pl.program_id(0)
         j = pl.program_id(1)
-        gi = pl.num_programs(0)
-        gj = pl.num_programs(1)
-        t = i * gj + j
-        slot = jax.lax.rem(t, 2)
-
-        def start_dma(ti, tj, s):
-            pltpu.make_async_copy(
-                in_hbm.at[pl.ds(ti * th, sh), pl.ds(tj * tw, sw)],
-                scratch.at[s], sem.at[s]).start()
-
-        @pl.when(t == 0)
-        def _():
-            start_dma(i, j, 0)
-
-        nt = t + 1
-        ni = nt // gj
-        nj = jax.lax.rem(nt, gj)
-
-        @pl.when(nt < gi * gj)
-        def _():
-            start_dma(ni, nj, jax.lax.rem(nt, 2))
-
-        pltpu.make_async_copy(
+        copy = pltpu.make_async_copy(
             in_hbm.at[pl.ds(i * th, sh), pl.ds(j * tw, sw)],
-            scratch.at[slot], sem.at[slot]).wait()
+            scratch.at[0], sem.at[0])
+        copy.start()
+        copy.wait()
 
         def shift(dy, dx):
-            return scratch[slot, 1 + dy:1 + dy + th, 1 + dx:1 + dx + tw]
+            return scratch[0, 1 + dy:1 + dy + th, 1 + dx:1 + dx + tw]
 
         a = shift(-1, -1)
         b = shift(-1, 0)
@@ -160,9 +145,9 @@ def _make_kernel(which, th, tw, sh, sw):
     return kernel
 
 
-@partial(jax.jit, static_argnames=("which",))
+@partial(jax.jit, static_argnames=("which", "interpret"))
 def surface_pallas(data, cellsize_x, cellsize_y, azimuth, angle_altitude,
-                   which=("slope",)):
+                   which=("slope",), interpret=False):
     """(K, H, W) stacked surface products with 1-cell NaN borders.
 
     One streaming pass computes every product in `which` (subset of
@@ -198,6 +183,7 @@ def surface_pallas(data, cellsize_x, cellsize_y, azimuth, angle_altitude,
             flops=30 * k * hp * wp,
             bytes_accessed=(hp * wp * 4) * (1 + k),
             transcendentals=2 * k * hp * wp),
+        interpret=interpret,
     )(scalar(cellsize_x), scalar(cellsize_y), scalar(azimuth),
       scalar(angle_altitude), padded)
     return out[:, :h, :w]
