@@ -135,3 +135,22 @@ def test_nan_cells_invisible_and_transparent():
     v = np.asarray(viewshed(agg, x=xs[0], y=ys[2], observer_elev=2).data)
     assert v[2, 3] == -1          # NaN cell itself invisible
     assert v[2, 4] > -1           # does not block what's behind it
+
+
+def test_los_matches_pairwise():
+    """The large-raster LOS path agrees with the exact sweep-semantics
+    path away from ties."""
+    from xrspatial_tpu.kernels.viewshed import (viewshed_grid,
+                                                viewshed_grid_los)
+    rng = np.random.default_rng(11)
+    data = (rng.random((48, 64)) * 50).astype(np.float64)
+    data[20:24, 30:34] += 200.0  # a mesa
+    exact = np.asarray(viewshed_grid(data, 10, 10, 2.0, 0.0, 1.0, -1.0))
+    los = np.asarray(viewshed_grid_los(data, 10, 10, 2.0, 0.0, 1.0, -1.0))
+    vis_exact = exact > -1
+    vis_los = los > -1
+    agree = (vis_exact == vis_los).mean()
+    assert agree > 0.97, agree
+    # vertical angles of commonly-visible cells match
+    both = vis_exact & vis_los
+    np.testing.assert_allclose(exact[both], los[both], rtol=1e-4, atol=1e-3)

@@ -250,3 +250,91 @@ def viewshed_grid(data, vp_row: int, vp_col: int, observer_elev: float,
                           jnp.float64(target_elev),
                           jnp.float64(ew_res), jnp.float64(ns_res),
                           data.shape)
+
+
+# ---------------------------------------------------------------------------
+# Batched line-of-sight variant — O(N * max_dim), for large rasters
+# ---------------------------------------------------------------------------
+
+@partial(jax.jit, static_argnames=("shape", "n_steps"))
+def _viewshed_los_impl(data, vp_row, vp_col, observer_elev, target_elev,
+                       ew_res, ns_res, shape, n_steps):
+    """Every cell samples the sight line back to the viewpoint.
+
+    float32; geometrically equivalent to the sweep but samples terrain by
+    bilinear interpolation along the ray instead of angular-span corner
+    interpolation — results can differ at near-tie cells (documented).
+    """
+    h, w = shape
+    rows = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0).astype(jnp.float32)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1).astype(jnp.float32)
+    vp_r = vp_row.astype(jnp.float32)
+    vp_c = vp_col.astype(jnp.float32)
+    vp_elev = (data[vp_row, vp_col] + observer_elev).astype(jnp.float32)
+
+    dy = rows - vp_r
+    dx = cols - vp_c
+    dist_px = jnp.sqrt(dy * dy + dx * dx)
+    wx = dx * ew_res
+    wy = dy * ns_res
+    dist_w = jnp.sqrt(wx * wx + wy * wy)
+
+    # slope-to-target (with target_elev); monotonic in gradient
+    tgt_slope = jnp.where(
+        dist_w > 0, (data + target_elev - vp_elev) / jnp.maximum(dist_w,
+                                                                 1e-12),
+        jnp.inf)
+
+    def bilinear(r, c):
+        r0 = jnp.clip(jnp.floor(r).astype(jnp.int32), 0, h - 1)
+        c0 = jnp.clip(jnp.floor(c).astype(jnp.int32), 0, w - 1)
+        r1 = jnp.clip(r0 + 1, 0, h - 1)
+        c1 = jnp.clip(c0 + 1, 0, w - 1)
+        fr = jnp.clip(r - r0, 0.0, 1.0)
+        fc = jnp.clip(c - c0, 0.0, 1.0)
+        return ((data[r0, c0] * (1 - fr) + data[r1, c0] * fr) * (1 - fc)
+                + (data[r0, c1] * (1 - fr) + data[r1, c1] * fr) * fc)
+
+    # samples at t_k = k / n_steps, excluding within half a cell of the
+    # target and of the viewpoint
+    def body(k, max_slope):
+        t = k.astype(jnp.float32) / jnp.float32(n_steps)
+        active = (t * dist_px > 0.5) & (t * dist_px < dist_px - 0.5)
+        r = vp_r + t * dy
+        c = vp_c + t * dx
+        elev_s = bilinear(r, c)
+        d_s = t * dist_w
+        s = (elev_s - vp_elev) / jnp.maximum(d_s, 1e-12)
+        s = jnp.where(active & ~jnp.isnan(s), s, -jnp.inf)
+        return jnp.maximum(max_slope, s)
+
+    max_slope = jax.lax.fori_loop(
+        1, n_steps, body, jnp.full((h, w), -jnp.inf, jnp.float32))
+
+    visible = max_slope <= tgt_slope
+
+    diff = vp_elev - (data + target_elev)
+    dsafe = jnp.maximum(dist_w, 1e-12)
+    vert = jnp.where(
+        diff == 0.0, 90.0,
+        jnp.where(diff > 0,
+                  jnp.arctan(dsafe / jnp.where(diff == 0, 1.0, diff))
+                  * 180.0 / PI,
+                  jnp.arctan(jnp.abs(diff) / dsafe) * 180.0 / PI + 90.0))
+    out = jnp.where(visible, vert, float(INVISIBLE))
+    is_vp = (rows == vp_r) & (cols == vp_c)
+    out = jnp.where(jnp.isnan(data), float(INVISIBLE), out)
+    return jnp.where(is_vp, 180.0, out)
+
+
+def viewshed_grid_los(data, vp_row: int, vp_col: int, observer_elev: float,
+                      target_elev: float, ew_res: float, ns_res: float):
+    """Line-of-sight viewshed for large rasters (float32, O(N*max_dim))."""
+    data = jnp.asarray(data, dtype=jnp.float32)
+    h, w = data.shape
+    n_steps = int(1.5 * max(h, w)) + 2
+    return _viewshed_los_impl(data, jnp.int32(vp_row), jnp.int32(vp_col),
+                              jnp.float32(observer_elev),
+                              jnp.float32(target_elev),
+                              jnp.float32(ew_res), jnp.float32(ns_res),
+                              data.shape, n_steps)

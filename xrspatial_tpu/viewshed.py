@@ -14,7 +14,7 @@ from typing import Union
 
 import numpy as np
 
-from .kernels.viewshed import viewshed_grid
+from .kernels.viewshed import viewshed_grid, viewshed_grid_los
 from .utils import wrap_like, x64
 from .xrlib import DataArray
 
@@ -22,6 +22,10 @@ __all__ = ["viewshed"]
 
 OBS_ELEV = 0
 TARGET_ELEV = 0
+
+# above this cell count the exact pairwise evaluation (O(N^2)) switches to
+# the batched line-of-sight formulation (O(N * max_dim))
+_EXACT_MAX_CELLS = 256 * 256
 
 
 def viewshed(raster: DataArray,
@@ -58,8 +62,16 @@ def viewshed(raster: DataArray,
     ew_res = (x_coords[-1] - x_coords[0]) / (width - 1)
     ns_res = (y_coords[-1] - y_coords[0]) / (height - 1)
 
-    with x64():
-        out = viewshed_grid(np.asarray(raster.data, dtype=np.float64),
-                            y_view, x_view, observer_elev, target_elev,
-                            ew_res, ns_res)
+    if height * width <= _EXACT_MAX_CELLS:
+        with x64():
+            out = viewshed_grid(np.asarray(raster.data, dtype=np.float64),
+                                y_view, x_view, observer_elev, target_elev,
+                                ew_res, ns_res)
+    else:
+        # large rasters: O(N * max_dim) batched line-of-sight (float32);
+        # geometrically equivalent, may differ from the sweep at near-tie
+        # cells (see kernels/viewshed.py)
+        out = viewshed_grid_los(np.asarray(raster.data, dtype=np.float32),
+                                y_view, x_view, observer_elev, target_elev,
+                                ew_res, ns_res)
     return wrap_like(raster, out, raster.name)
