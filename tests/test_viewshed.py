@@ -142,10 +142,12 @@ def test_los_matches_pairwise():
     path away from ties."""
     from xrspatial_tpu.kernels.viewshed import (viewshed_grid,
                                                 viewshed_grid_los)
+    from xrspatial_tpu.utils import x64
     rng = np.random.default_rng(11)
     data = (rng.random((48, 64)) * 50).astype(np.float64)
     data[20:24, 30:34] += 200.0  # a mesa
-    exact = np.asarray(viewshed_grid(data, 10, 10, 2.0, 0.0, 1.0, -1.0))
+    with x64():
+        exact = np.asarray(viewshed_grid(data, 10, 10, 2.0, 0.0, 1.0, -1.0))
     los = np.asarray(viewshed_grid_los(data, 10, 10, 2.0, 0.0, 1.0, -1.0))
     vis_exact = exact > -1
     vis_los = los > -1

@@ -1,10 +1,11 @@
 """Cast shadows for hillshade: batched ray-march toward the sun.
 
 TPU-native replacement for the reference's OptiX/RTX shadow path
-(``gpu_rtx/hillshade.py``): TPUs have no RT cores, so instead of tracing
-rays against a BVH of the triangulated terrain, every cell marches a ray
-toward the sun with bilinear terrain sampling — one fused program, all
-cells in parallel per step.
+(``gpu_rtx/hillshade.py``): TPUs have no RT cores, so every cell marches a
+ray toward the sun.  Because all rays share ONE direction, each step's
+terrain sample is a uniform fractional shift of the whole raster —
+implemented as four dynamic-sliced reads + bilinear weights (per-element
+gathers are pathological on TPU; dynamic_slice is a contiguous copy).
 
 Output semantics mirror the RTX path (gpu_rtx/hillshade.py:96-123):
 Lambertian shading ``(cos(theta)+1)/2`` from the surface normal, halved
@@ -32,31 +33,9 @@ def _sun_dir(azimuth, altitude):
             jnp.sin(alt))
 
 
-def _bilinear(data, r, c):
-    h, w = data.shape
-    r0 = jnp.clip(jnp.floor(r).astype(jnp.int32), 0, h - 1)
-    c0 = jnp.clip(jnp.floor(c).astype(jnp.int32), 0, w - 1)
-    r1 = jnp.clip(r0 + 1, 0, h - 1)
-    c1 = jnp.clip(c0 + 1, 0, w - 1)
-    fr = jnp.clip(r - r0, 0.0, 1.0)
-    fc = jnp.clip(c - c0, 0.0, 1.0)
-    v00 = data[r0, c0]
-    v01 = data[r0, c1]
-    v10 = data[r1, c0]
-    v11 = data[r1, c1]
-    return ((v00 * (1 - fr) + v10 * fr) * (1 - fc)
-            + (v01 * (1 - fr) + v11 * fr) * fc)
-
-
 @partial(jax.jit, static_argnames=("n_steps",))
-def shadow_mask(data, azimuth, angle_altitude, cellsize_x, cellsize_y,
-                n_steps: int = 1024):
-    """True where a cell sees the sun (not shadowed).
-
-    Marches up to `n_steps` cell-sized steps along the sun direction,
-    comparing the ray height against bilinear-sampled terrain.
-    """
-    data = data.astype(jnp.float32)
+def _shadow_mask_impl(data, azimuth, angle_altitude, cellsize_x,
+                      cellsize_y, n_steps: int):
     h, w = data.shape
     sx, sy, sz = _sun_dir(azimuth.astype(jnp.float32),
                           angle_altitude.astype(jnp.float32))
@@ -64,28 +43,49 @@ def shadow_mask(data, azimuth, angle_altitude, cellsize_x, cellsize_y,
     step = jnp.minimum(jnp.abs(cellsize_x), jnp.abs(cellsize_y))
     dc = sx * step / jnp.abs(cellsize_x)       # east -> +col
     dr = -sy * step / jnp.abs(cellsize_y)      # north -> -row
-    horiz = jnp.sqrt((sx * step) ** 2 + (sy * step) ** 2)
-    dz = jnp.where(horiz > 0,
-                   sz / jnp.maximum(jnp.sqrt(sx * sx + sy * sy), 1e-9)
-                   * step, jnp.inf)
+    dz = sz / jnp.maximum(jnp.sqrt(sx * sx + sy * sy), 1e-9) * step
 
-    rows = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0).astype(jnp.float32)
-    cols = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1).astype(jnp.float32)
+    # -inf terrain (incl. NaN cells and out-of-bounds) never blocks
+    terrain = jnp.where(jnp.isnan(data), -jnp.inf, data)
+    pad = n_steps + 1
+    padded = jnp.pad(terrain, pad, constant_values=-jnp.inf)
+
     z0 = data + 1e-3
 
     def body(k, blocked):
         kf = k.astype(jnp.float32)
-        r = rows + dr * kf
-        c = cols + dc * kf
+        oy = dr * kf
+        ox = dc * kf
+        oy0 = jnp.floor(oy)
+        ox0 = jnp.floor(ox)
+        fy = oy - oy0
+        fx = ox - ox0
+        ry = (pad + oy0).astype(jnp.int32)
+        rx = (pad + ox0).astype(jnp.int32)
+        s00 = jax.lax.dynamic_slice(padded, (ry, rx), (h, w))
+        s01 = jax.lax.dynamic_slice(padded, (ry, rx + 1), (h, w))
+        s10 = jax.lax.dynamic_slice(padded, (ry + 1, rx), (h, w))
+        s11 = jax.lax.dynamic_slice(padded, (ry + 1, rx + 1), (h, w))
+        sample = ((s00 * (1 - fy) + s10 * fy) * (1 - fx)
+                  + (s01 * (1 - fy) + s11 * fy) * fx)
         zray = z0 + dz * kf
-        inside = (r >= 0) & (r <= h - 1) & (c >= 0) & (c <= w - 1)
-        sample = _bilinear(data, r, c)
-        hit = inside & (sample > zray) & ~jnp.isnan(sample)
-        return blocked | hit
+        return blocked | (sample > zray)
 
     blocked = jax.lax.fori_loop(1, n_steps + 1, body,
                                 jnp.zeros((h, w), bool))
     return ~blocked
+
+
+def shadow_mask(data, azimuth, angle_altitude, cellsize_x, cellsize_y,
+                n_steps: int = 1024):
+    """True where a cell sees the sun (not shadowed)."""
+    data = data.astype(jnp.float32)
+    h, w = data.shape
+    n = min(n_steps, int(1.5 * max(h, w)) + 2)
+    return _shadow_mask_impl(data, jnp.float32(azimuth),
+                             jnp.float32(angle_altitude),
+                             jnp.float32(cellsize_x),
+                             jnp.float32(cellsize_y), n)
 
 
 @jax.jit

@@ -253,17 +253,26 @@ def viewshed_grid(data, vp_row: int, vp_col: int, observer_elev: float,
 
 
 # ---------------------------------------------------------------------------
-# Batched line-of-sight variant — O(N * max_dim), for large rasters
+# XDraw wavefront variant - O(N * max_dim) with SHIFT-only memory access
+# (per-element gathers are pathological on TPU; XDraw's inward-neighbor
+# interpolation needs only 3x3 shifted reads of the running max-slope)
 # ---------------------------------------------------------------------------
 
-@partial(jax.jit, static_argnames=("shape", "n_steps"))
-def _viewshed_los_impl(data, vp_row, vp_col, observer_elev, target_elev,
-                       ew_res, ns_res, shape, n_steps):
-    """Every cell samples the sight line back to the viewpoint.
 
-    float32; geometrically equivalent to the sweep but samples terrain by
-    bilinear interpolation along the ray instead of angular-span corner
-    interpolation — results can differ at near-tie cells (documented).
+def _shift(arr, dy, dx, fill):
+    h, w = arr.shape
+    py0, py1 = max(-dy, 0), max(dy, 0)
+    px0, px1 = max(-dx, 0), max(dx, 0)
+    p = jnp.pad(arr, ((py0, py1), (px0, px1)), constant_values=fill)
+    return p[py0 + dy:py0 + dy + h, px0 + dx:px0 + dx + w]
+
+
+@partial(jax.jit, static_argnames=("shape",))
+def _viewshed_xdraw_impl(data, vp_row, vp_col, observer_elev, target_elev,
+                         ew_res, ns_res, shape):
+    """XDraw: rings of Chebyshev distance k are processed outward; each
+    cell interpolates the max slope-to-viewpoint of its two inward
+    neighbors along the ray.  All memory access is via 3x3 shifts.
     """
     h, w = shape
     rows = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0).astype(jnp.float32)
@@ -274,67 +283,95 @@ def _viewshed_los_impl(data, vp_row, vp_col, observer_elev, target_elev,
 
     dy = rows - vp_r
     dx = cols - vp_c
-    dist_px = jnp.sqrt(dy * dy + dx * dx)
+    ady = jnp.abs(dy)
+    adx = jnp.abs(dx)
+    ring = jnp.maximum(ady, adx).astype(jnp.int32)
+
     wx = dx * ew_res
     wy = dy * ns_res
     dist_w = jnp.sqrt(wx * wx + wy * wy)
+    safe_d = jnp.maximum(dist_w, 1e-12)
+    slope_self = (data - vp_elev) / safe_d          # blocker slope
+    slope_tgt = (data + target_elev - vp_elev) / safe_d
 
-    # slope-to-target (with target_elev); monotonic in gradient
-    tgt_slope = jnp.where(
-        dist_w > 0, (data + target_elev - vp_elev) / jnp.maximum(dist_w,
-                                                                 1e-12),
-        jnp.inf)
+    # inward neighbor pair: primary = one step toward the vp along the
+    # dominant axis; secondary = primary plus one step on the minor axis.
+    sy = jnp.sign(dy)
+    sx = jnp.sign(dx)
+    dom_y = ady >= adx
+    p_dy = jnp.where(dom_y, -sy, 0.0)
+    p_dx = jnp.where(dom_y, 0.0, -sx)
+    s_dy = -sy
+    s_dx = -sx
+    # interpolation weight of the secondary neighbor: fractional off-axis
+    # position of the ray crossing at ring k-1
+    denom = jnp.maximum(jnp.maximum(ady, adx), 1.0)
+    minor = jnp.minimum(ady, adx)
+    frac = minor * (denom - 1.0) / denom - jnp.floor(
+        minor * (denom - 1.0) / denom)
+    use_sec = jnp.where(dom_y, adx > 0, ady > 0)
+    wsec = jnp.where(use_sec, frac, 0.0)
 
-    def bilinear(r, c):
-        r0 = jnp.clip(jnp.floor(r).astype(jnp.int32), 0, h - 1)
-        c0 = jnp.clip(jnp.floor(c).astype(jnp.int32), 0, w - 1)
-        r1 = jnp.clip(r0 + 1, 0, h - 1)
-        c1 = jnp.clip(c0 + 1, 0, w - 1)
-        fr = jnp.clip(r - r0, 0.0, 1.0)
-        fc = jnp.clip(c - c0, 0.0, 1.0)
-        return ((data[r0, c0] * (1 - fr) + data[r1, c0] * fr) * (1 - fc)
-                + (data[r0, c1] * (1 - fr) + data[r1, c1] * fr) * fc)
+    neginf = jnp.float32(-jnp.inf)
 
-    # samples at t_k = k / n_steps, excluding within half a cell of the
-    # target and of the viewpoint
-    def body(k, max_slope):
-        t = k.astype(jnp.float32) / jnp.float32(n_steps)
-        active = (t * dist_px > 0.5) & (t * dist_px < dist_px - 0.5)
-        r = vp_r + t * dy
-        c = vp_c + t * dx
-        elev_s = bilinear(r, c)
-        d_s = t * dist_w
-        s = (elev_s - vp_elev) / jnp.maximum(d_s, 1e-12)
-        s = jnp.where(active & ~jnp.isnan(s), s, -jnp.inf)
-        return jnp.maximum(max_slope, s)
+    def shifted_for(offs_dy, offs_dx, m):
+        """m shifted so each cell reads m[cell + (offs_dy, offs_dx)] for its
+        own (sign-dependent) offsets — selected from the 8 static shifts."""
+        out = jnp.full((h, w), neginf)
+        for ody in (-1, 0, 1):
+            for odx in (-1, 0, 1):
+                if ody == 0 and odx == 0:
+                    continue
+                sel = (offs_dy == ody) & (offs_dx == odx)
+                out = jnp.where(sel, _shift(m, ody, odx, neginf), out)
+        return out
 
-    max_slope = jax.lax.fori_loop(
-        1, n_steps, body, jnp.full((h, w), -jnp.inf, jnp.float32))
+    max_k = int(np.maximum(h, w))
 
-    visible = max_slope <= tgt_slope
+    def body(k, m):
+        mp = shifted_for(p_dy, p_dx, m)
+        ms = shifted_for(s_dy, s_dx, m)
+        both = jnp.isfinite(mp) & jnp.isfinite(ms)
+        interp = jnp.where(both, mp * (1.0 - wsec) + ms * wsec,
+                           jnp.maximum(mp, ms))
+        on_ring = ring == k
+        blocked_slope = jnp.where(k == 1, neginf, interp)
+        new_m = jnp.maximum(blocked_slope, slope_self)
+        return jnp.where(on_ring, new_m, m)
+
+    init = jnp.full((h, w), neginf)
+    init = init.at[vp_row, vp_col].set(-jnp.inf)
+    m = jax.lax.fori_loop(1, max_k + 1, body, init)
+
+    # visibility: the max slope of strictly-inward terrain must not exceed
+    # the (target-adjusted) slope of the cell
+    mp = shifted_for(p_dy, p_dx, m)
+    ms = shifted_for(s_dy, s_dx, m)
+    both = jnp.isfinite(mp) & jnp.isfinite(ms)
+    inward_max = jnp.where(both, mp * (1.0 - wsec) + ms * wsec,
+                           jnp.maximum(mp, ms))
+    inward_max = jnp.where(ring <= 1, neginf, inward_max)
+    visible = inward_max <= slope_tgt
 
     diff = vp_elev - (data + target_elev)
-    dsafe = jnp.maximum(dist_w, 1e-12)
     vert = jnp.where(
         diff == 0.0, 90.0,
         jnp.where(diff > 0,
-                  jnp.arctan(dsafe / jnp.where(diff == 0, 1.0, diff))
+                  jnp.arctan(safe_d / jnp.where(diff == 0, 1.0, diff))
                   * 180.0 / PI,
-                  jnp.arctan(jnp.abs(diff) / dsafe) * 180.0 / PI + 90.0))
+                  jnp.arctan(jnp.abs(diff) / safe_d) * 180.0 / PI + 90.0))
     out = jnp.where(visible, vert, float(INVISIBLE))
-    is_vp = (rows == vp_r) & (cols == vp_c)
     out = jnp.where(jnp.isnan(data), float(INVISIBLE), out)
+    is_vp = (rows == vp_r) & (cols == vp_c)
     return jnp.where(is_vp, 180.0, out)
 
 
 def viewshed_grid_los(data, vp_row: int, vp_col: int, observer_elev: float,
                       target_elev: float, ew_res: float, ns_res: float):
-    """Line-of-sight viewshed for large rasters (float32, O(N*max_dim))."""
+    """Wavefront (XDraw) viewshed for large rasters (float32, shift-only)."""
     data = jnp.asarray(data, dtype=jnp.float32)
-    h, w = data.shape
-    n_steps = int(1.5 * max(h, w)) + 2
-    return _viewshed_los_impl(data, jnp.int32(vp_row), jnp.int32(vp_col),
-                              jnp.float32(observer_elev),
-                              jnp.float32(target_elev),
-                              jnp.float32(ew_res), jnp.float32(ns_res),
-                              data.shape, n_steps)
+    return _viewshed_xdraw_impl(data, jnp.int32(vp_row), jnp.int32(vp_col),
+                                jnp.float32(observer_elev),
+                                jnp.float32(target_elev),
+                                jnp.float32(ew_res), jnp.float32(ns_res),
+                                data.shape)
