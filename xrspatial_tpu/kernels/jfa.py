@@ -59,37 +59,53 @@ def _shift_simple(arr, dy, dx, fill):
 
 
 @partial(jax.jit, static_argnames=("metric", "shape"))
-def _jfa_rounds(ty, tx, xs, ys, metric, shape):
-    """Run the jump-flood rounds.  ty/tx: nearest-target row/col per pixel
-    (-1 = none yet).  xs/ys: 1-D coordinate arrays."""
+def _jfa_rounds(tx_w, ty_w, tval, xs, ys, strides, metric, shape):
+    """Jump-flood rounds over carried target *coordinates* (and value).
+
+    Gather-free AND compile-light: one lax.scan over the stride schedule;
+    neighbor reads are jnp.roll (a pair of contiguous slices) with
+    iota-based validity masks instead of per-element gathers (pathological
+    on TPU) or per-stride pads (graph blow-up).
+    """
     h, w = shape
     rows = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
     cols = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
-    px = xs[cols]
+    px = xs[cols]   # one-time setup gathers of 1-D coords (cheap, cached)
     py = ys[rows]
 
-    def cand_dist(cty, ctx):
-        d = metric_distance(px, xs[jnp.clip(ctx, 0, w - 1)],
-                            py, ys[jnp.clip(cty, 0, h - 1)], metric)
-        return jnp.where(cty >= 0, d, jnp.inf)
+    inf = jnp.float32(jnp.inf)
+
+    def cand_dist(ctx, cty):
+        d = metric_distance(px, ctx, py, cty, metric)
+        return jnp.where(jnp.isfinite(ctx), d, inf)
 
     def one_round(state, k):
-        ty, tx, best = state
+        tx_w, ty_w, tval, best = state
         for sy in (-1, 0, 1):
             for sx in (-1, 0, 1):
                 if sy == 0 and sx == 0:
                     continue
-                nty = _shift_simple(ty, sy * k, sx * k, -1)
-                ntx = _shift_simple(tx, sy * k, sx * k, -1)
-                nd = cand_dist(nty, ntx)
+                dy, dx = sy * k, sx * k
+                # out[i,j] = arr[i+dy, j+dx] -> roll by (-dy, -dx)
+                ntx = jnp.roll(tx_w, (-dy, -dx), (0, 1))
+                nty = jnp.roll(ty_w, (-dy, -dx), (0, 1))
+                nv = jnp.roll(tval, (-dy, -dx), (0, 1))
+                valid = ((rows + dy >= 0) & (rows + dy < h)
+                         & (cols + dx >= 0) & (cols + dx < w))
+                nd = jnp.where(valid, cand_dist(ntx, nty), inf)
                 better = nd < best
-                ty = jnp.where(better, nty, ty)
-                tx = jnp.where(better, ntx, tx)
+                tx_w = jnp.where(better, ntx, tx_w)
+                ty_w = jnp.where(better, nty, ty_w)
+                tval = jnp.where(better, nv, tval)
                 best = jnp.where(better, nd, best)
-        return ty, tx, best
+        return (tx_w, ty_w, tval, best), None
 
-    best = cand_dist(ty, tx)
-    max_dim = max(h, w)
+    best = cand_dist(tx_w, ty_w)
+    state, _ = jax.lax.scan(one_round, (tx_w, ty_w, tval, best), strides)
+    return state
+
+
+def _stride_schedule(max_dim: int) -> np.ndarray:
     strides = []
     k = 1
     while k < max_dim:
@@ -99,20 +115,29 @@ def _jfa_rounds(ty, tx, xs, ys, metric, shape):
         strides.append(k)
         k //= 2
     strides += [2, 1]  # JFA+2 cleanup
-
-    state = (ty, tx, best)
-    for k in strides:
-        state = one_round(state, k)
-    return state
+    return np.asarray(strides, dtype=np.int32)
 
 
-def jump_flood(target_mask, xs, ys, metric: int):
-    """(distance, ty, tx) for every pixel; ty/tx = -1 where no target."""
+def jump_flood(target_mask, xs, ys, metric: int, values=None):
+    """(distance, target_x, target_y, target_value) per pixel.
+
+    target_x/y are world coordinates of the nearest target (inf where no
+    target exists); target_value is the raster value at that target.
+    """
     h, w = target_mask.shape
+    xs = xs.astype(jnp.float32)
+    ys = ys.astype(jnp.float32)
     rows = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
     cols = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
-    ty = jnp.where(target_mask, rows, -1)
-    tx = jnp.where(target_mask, cols, -1)
-    ty, tx, dist = _jfa_rounds(ty, tx, xs.astype(jnp.float32),
-                               ys.astype(jnp.float32), metric, (h, w))
-    return dist, ty, tx
+    px = xs[cols]
+    py = ys[rows]
+    inf = jnp.float32(jnp.inf)
+    tx_w = jnp.where(target_mask, px, inf)
+    ty_w = jnp.where(target_mask, py, inf)
+    if values is None:
+        values = jnp.zeros((h, w), jnp.float32)
+    tval = jnp.where(target_mask, values.astype(jnp.float32), 0.0)
+    strides = jnp.asarray(_stride_schedule(max(h, w)))
+    tx_w, ty_w, tval, dist = _jfa_rounds(tx_w, ty_w, tval, xs, ys, strides,
+                                         metric, (h, w))
+    return dist, tx_w, ty_w, tval

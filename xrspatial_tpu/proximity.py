@@ -108,34 +108,33 @@ def _process(raster, x, y, target_values, max_distance, distance_metric,
     img = jnp.asarray(raster.data)
 
     mask = _target_mask(img, target_values)
-    dist, t_row, t_col = jump_flood(mask, xs, ys, metric)
+    dist, t_x, t_y, t_val = jump_flood(mask, xs, ys, metric, values=img)
 
-    reachable = (t_row >= 0) & (dist <= max_distance)
+    reachable = jnp.isfinite(t_x) & (dist <= max_distance)
     if mode == PROXIMITY:
         out = jnp.where(reachable, dist, jnp.nan)
     elif mode == ALLOCATION:
-        out = jnp.where(reachable,
-                        img[jnp.clip(t_row, 0, None),
-                            jnp.clip(t_col, 0, None)].astype(jnp.float32),
-                        jnp.nan)
+        out = jnp.where(reachable, t_val, jnp.nan)
     else:  # DIRECTION
         # float64 epilogue: the reference computes bearings in f64 with an
         # imprecise degree constant (57.29578); the branch at exact-north
-        # (atan2 -> 90 deg) only matches in f64
+        # (atan2 -> 90 deg) only matches in f64.  Carried f32 target
+        # coordinates are exact coordinate values, so comparisons (==)
+        # against the pixel's own coordinates still work.
         from .utils import x64
         with x64():
             h, w = img.shape
-            xs64 = jnp.asarray(np.asarray(raster[x].data, dtype=np.float64))
-            ys64 = jnp.asarray(np.asarray(raster[y].data, dtype=np.float64))
             rows = jnp.arange(h, dtype=jnp.int32)[:, None] \
                 * jnp.ones((1, w), jnp.int32)
             cols = jnp.ones((h, 1), jnp.int32) \
                 * jnp.arange(w, dtype=jnp.int32)[None, :]
+            xs64 = jnp.asarray(np.asarray(raster[x].data, dtype=np.float64))
+            ys64 = jnp.asarray(np.asarray(raster[y].data, dtype=np.float64))
             px = xs64[cols]
             py = ys64[rows]
-            tx = xs64[jnp.clip(t_col, 0, None)]
-            tyc = ys64[jnp.clip(t_row, 0, None)]
-            out = jnp.where(reachable, _compass_direction(px, tx, py, tyc),
+            out = jnp.where(reachable,
+                            _compass_direction(px, t_x.astype(jnp.float64),
+                                               py, t_y.astype(jnp.float64)),
                             jnp.nan)
     return out
 
