@@ -58,25 +58,40 @@ from functools import partial
 def _segment_stats(values, seg_ids, num_segments, nodata, has_nodata):
     """Per-zone sum/count/sumsq/min/max with NaN+nodata exclusion.
 
-    Accumulates in float64-free fashion: f32 sums are fine to the 1e-5
-    contract for typical zones; count/min/max are exact.
+    Sort-based: scatter-adds (jax.ops.segment_sum) are pathological on
+    TPU.  One 2-key sort (zone, value) makes zones contiguous AND
+    value-ordered, so min/max are the segment endpoints and sums come from
+    float64 cumulative sums differenced at segment boundaries (f64 scan of
+    f32 data keeps the boundary differences exact to ~1e-16 relative).
     """
     v = values.ravel().astype(jnp.float32)
     valid = jnp.isfinite(v)
     if has_nodata:
         valid = valid & (v != nodata)
-    seg = jnp.where(valid, seg_ids, num_segments)  # invalid -> overflow bin
-    w = valid.astype(jnp.float32)
-    vz = jnp.where(valid, v, 0.0)
+    seg = jnp.where(valid, seg_ids, num_segments).astype(jnp.int32)
+    vs = jnp.where(valid, v, 0.0)
 
-    n = num_segments + 1
-    ssum = jax.ops.segment_sum(vz, seg, num_segments=n)[:-1]
-    cnt = jax.ops.segment_sum(w, seg, num_segments=n)[:-1]
-    ssumsq = jax.ops.segment_sum(vz * vz, seg, num_segments=n)[:-1]
-    smin = jax.ops.segment_min(jnp.where(valid, v, jnp.inf), seg,
-                               num_segments=n)[:-1]
-    smax = jax.ops.segment_max(jnp.where(valid, v, -jnp.inf), seg,
-                               num_segments=n)[:-1]
+    seg_sorted, v_sorted = jax.lax.sort((seg, vs), num_keys=2)
+
+    cs = jnp.cumsum(v_sorted.astype(jnp.float64))
+    cs2 = jnp.cumsum((v_sorted.astype(jnp.float64)) ** 2)
+    cs = jnp.concatenate([jnp.zeros((1,), cs.dtype), cs])
+    cs2 = jnp.concatenate([jnp.zeros((1,), cs2.dtype), cs2])
+
+    bounds = jnp.searchsorted(seg_sorted,
+                              jnp.arange(num_segments + 1, dtype=jnp.int32))
+    start = bounds[:-1]
+    end = bounds[1:]
+
+    ssum = (cs[end] - cs[start]).astype(jnp.float32)
+    ssumsq = (cs2[end] - cs2[start]).astype(jnp.float32)
+    cnt = (end - start).astype(jnp.float32)
+    nonempty = end > start
+    smin = jnp.where(nonempty, v_sorted[jnp.clip(start, 0, v.shape[0] - 1)],
+                     jnp.inf)
+    smax = jnp.where(nonempty,
+                     v_sorted[jnp.clip(end - 1, 0, v.shape[0] - 1)],
+                     -jnp.inf)
     return ssum, cnt, ssumsq, smin, smax
 
 
@@ -212,8 +227,10 @@ def stats(
 
     has_nodata = nodata_values is not None
     nodata = jnp.float32(nodata_values if has_nodata else 0.0)
-    raw = _segment_stats(jnp.asarray(values.data), seg_ids,
-                         len(unique_zones), nodata, has_nodata)
+    from .utils import x64
+    with x64():  # float64 cumulative sums inside _segment_stats
+        raw = _segment_stats(jnp.asarray(values.data), seg_ids,
+                             len(unique_zones), nodata, has_nodata)
     derived = _derived_stats(*raw)
 
     per_zone: Dict[str, np.ndarray] = {}
@@ -345,9 +362,12 @@ def crosstab(
         result = {"zone": None}
         sel_mask = np.isin(unique_zones, sel_zones)
         result["zone"] = unique_zones[sel_mask]
+        from .utils import x64
         for c in cats:
             li = int(np.nonzero(layer_labels == c)[0][0])
-            raw = _segment_stats(cube[li], seg_ids, nz, nodata, has_nodata)
+            with x64():
+                raw = _segment_stats(cube[li], seg_ids, nz, nodata,
+                                     has_nodata)
             derived = _derived_stats(*raw)
             col = derived[agg]
             if agg == "count":
