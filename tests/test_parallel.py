@@ -129,3 +129,20 @@ def test_sharded_proximity():
         d = min(np.hypot(xs[j] - xs[4], ys[i] - ys[3]),
                 np.hypot(xs[j] - xs[12], ys[i] - ys[12]))
         assert abs(out[i, j] - d) < 1e-4
+
+
+def test_halo_wider_than_shard_falls_back():
+    """A kernel radius >= the local shard dimension can't be served by a
+    single ppermute hop; dispatch falls back to replicated execution."""
+    from reference_impl import ref_convolve2d
+
+    from xrspatial_tpu.convolution import convolution_2d
+    mesh = make_raster_mesh(4, 2)
+    rng = np.random.default_rng(9)
+    data = (rng.random((8, 6)) * 10).astype(np.float32)
+    agg = create_test_raster(data)
+    agg.data = distribute(agg.data, mesh)   # shards are 2x3
+    kernel = np.ones((7, 7))                # radius 3 >= shard height 2
+    out = np.asarray(convolution_2d(agg, kernel).data)
+    np.testing.assert_allclose(out, ref_convolve2d(data, kernel),
+                               equal_nan=True, rtol=1e-5)

@@ -18,6 +18,7 @@ from typing import Callable
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..parallel.halo import (HaloSpec, get_raster_mesh, raster_sharding,
                              stencil_shard_map)
@@ -61,6 +62,12 @@ def run_stencil(kernel: Callable, radius, data, *args):
         return kernel(data, *args)
     halo = HaloSpec.square(radius) if isinstance(radius, int) \
         else HaloSpec(*radius)
+    # a halo wider than the local shard would need multi-hop exchange;
+    # fall back to replicated execution (correct, not distributed)
+    shard_h = -(-data.shape[-2] // mesh.shape["y"])
+    shard_w = -(-data.shape[-1] // mesh.shape["x"])
+    if halo.ry >= shard_h or halo.rx >= shard_w:
+        return kernel(jnp.asarray(np.asarray(data)), *args)
     key = (kernel, mesh, halo)
     runner = _compiled_cache.get(key)
     if runner is None:
