@@ -123,3 +123,19 @@ def test_diagnose_clean():
     report = diagnose(agg)
     assert not report.has_issues
     assert str(report) == "No issues detected."
+
+
+def test_assign_attrs_coords_where_fillna():
+    import numpy as np
+
+    from xrspatial_tpu import DataArray
+    da = DataArray(np.array([[1.0, np.nan], [3.0, 4.0]]), dims=("y", "x"))
+    da2 = da.assign_attrs({"a": 1}, b=2)
+    assert da2.attrs == {"a": 1, "b": 2} and da.attrs == {}
+    da3 = da.assign_coords(y=[10.0, 20.0])
+    np.testing.assert_array_equal(da3["y"].values, [10.0, 20.0])
+    filled = da.fillna(0.0)
+    np.testing.assert_array_equal(filled.values, [[1.0, 0.0], [3.0, 4.0]])
+    masked = da.where(da > 2)
+    assert np.isnan(masked.values[0, 0])
+    assert masked.values[1, 1] == 4.0

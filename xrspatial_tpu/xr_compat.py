@@ -480,6 +480,32 @@ class DataArray:
         new.name = name
         return new
 
+    def assign_attrs(self, *args, **kwargs) -> "DataArray":
+        new = self.copy(deep=False)
+        for mapping in args:
+            new._attrs.update(mapping)
+        new._attrs.update(kwargs)
+        return new
+
+    def assign_coords(self, coords=None, **kwargs) -> "DataArray":
+        new = self.copy(deep=False)
+        for k, v in dict(coords or {}, **kwargs).items():
+            new._coords[k] = v
+        return new
+
+    def where(self, cond, other=jnp.nan if jnp is not None else float("nan")):
+        cond_data = cond._data if isinstance(cond, DataArray) else cond
+        other_data = other._data if isinstance(other, DataArray) else other
+        xp = jnp if (jnp is not None
+                     and not isinstance(self._data, np.ndarray)) else np
+        return self._replace(xp.where(cond_data, self._data, other_data))
+
+    def fillna(self, value) -> "DataArray":
+        xp = jnp if (jnp is not None
+                     and not isinstance(self._data, np.ndarray)) else np
+        return self._replace(xp.where(xp.isnan(self._data), value,
+                                      self._data))
+
     def expand_dims(self, dim, axis=0) -> "DataArray":
         data = self._data[(slice(None),) * axis + (None,)] if False else np.expand_dims(
             _to_numpy(self._data), axis) if isinstance(self._data, np.ndarray) else jnp.expand_dims(self._data, axis)
