@@ -146,3 +146,30 @@ def test_halo_wider_than_shard_falls_back():
     out = np.asarray(convolution_2d(agg, kernel).data)
     np.testing.assert_allclose(out, ref_convolve2d(data, kernel),
                                equal_nan=True, rtol=1e-5)
+
+
+def test_sharded_hotspots(raster):
+    from reference_impl import ref_hotspots
+
+    from xrspatial_tpu.convolution import circle_kernel
+    from xrspatial_tpu.focal import hotspots
+    mesh = make_raster_mesh(2, 2)
+    kernel = circle_kernel(1, 1, 1.5)
+    agg = create_test_raster(raster)
+    agg.data = distribute(agg.data, mesh)
+    out = np.asarray(hotspots(agg, kernel).data)
+    np.testing.assert_array_equal(out, ref_hotspots(raster, kernel))
+
+
+def test_sharded_regions():
+    from xrspatial_tpu.zonal import regions
+    mesh = make_raster_mesh(2, 2)
+    data = np.array([[1, 1, 0, 0],
+                     [1, 0, 0, 2],
+                     [0, 0, 2, 2],
+                     [3, 0, 2, 2]], dtype=np.float32)
+    agg = create_test_raster(data)
+    ref = np.asarray(regions(agg).data)
+    agg.data = distribute(agg.data, mesh)
+    out = np.asarray(regions(agg).data)
+    np.testing.assert_array_equal(out, ref)
