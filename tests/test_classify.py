@@ -195,3 +195,21 @@ def test_natural_breaks_too_few_unique():
     with pytest.warns(Warning):
         out = natural_breaks(agg, k=5)
     assert set(np.unique(np.asarray(out.data))) <= {0.0, 1.0}
+
+
+def test_quantile_docstring_golden():
+    """Reference classify.py quantile docstring example (:480-492)."""
+    from xrspatial_tpu.xrlib import DataArray
+    data = np.array([
+        [np.nan, 1., 2., 3., 4.],
+        [5., 6., 7., 8., 9.],
+        [10., 11., 12., 13., 14.],
+        [15., 16., 17., 18., 19.],
+        [20., 21., 22., 23., np.inf]], dtype=np.float64)
+    agg = DataArray(data, attrs={"res": (10.0, 10.0)})
+    out = np.asarray(quantile(agg, k=5).data)
+    # quartile classes ascend with the data; NaN/inf stay NaN
+    assert np.isnan(out[0, 0]) and np.isnan(out[4, 4])
+    finite = out[np.isfinite(out)]
+    assert finite.min() == 0.0 and finite.max() == 4.0
+    assert (np.diff(finite) >= 0).all()
