@@ -73,18 +73,43 @@ def _segment_stats(values, seg_ids, num_segments, nodata, has_nodata):
 
     seg_sorted, v_sorted = jax.lax.sort((seg, vs), num_keys=2)
 
-    cs = jnp.cumsum(v_sorted.astype(jnp.float64))
-    cs2 = jnp.cumsum((v_sorted.astype(jnp.float64)) ** 2)
-    cs = jnp.concatenate([jnp.zeros((1,), cs.dtype), cs])
-    cs2 = jnp.concatenate([jnp.zeros((1,), cs2.dtype), cs2])
+    # Two-level prefix sums: f32 cumsum inside 256-element blocks (bounded
+    # rounding) + f64 cumsum over the tiny block-totals array.  Avoids a
+    # full-length f64 scan (f64 is emulated on TPU) while keeping the
+    # boundary differences accurate far beyond the 1e-5 contract.
+    n = v_sorted.shape[0]
+    block = 256
+    nb = -(-n // block)
+    npad = nb * block
+
+    def two_level_prefix(x):
+        xp = jnp.pad(x, (0, npad - n)).reshape(nb, block)
+        intra = jnp.cumsum(xp, axis=1)
+        totals = intra[:, -1].astype(jnp.float64)
+        blockcum = jnp.concatenate(
+            [jnp.zeros((1,), jnp.float64), jnp.cumsum(totals)])
+
+        def at(idx):
+            # exclusive prefix sum at flat position idx (0..n)
+            b = idx // block
+            r = idx - b * block
+            intra_part = jnp.where(
+                r > 0,
+                intra[jnp.clip(b, 0, nb - 1),
+                      jnp.clip(r - 1, 0, block - 1)], 0.0)
+            return blockcum[jnp.clip(b, 0, nb)] + intra_part
+        return at
+
+    prefix_v = two_level_prefix(v_sorted)
+    prefix_v2 = two_level_prefix(v_sorted * v_sorted)
 
     bounds = jnp.searchsorted(seg_sorted,
                               jnp.arange(num_segments + 1, dtype=jnp.int32))
     start = bounds[:-1]
     end = bounds[1:]
 
-    ssum = (cs[end] - cs[start]).astype(jnp.float32)
-    ssumsq = (cs2[end] - cs2[start]).astype(jnp.float32)
+    ssum = (prefix_v(end) - prefix_v(start)).astype(jnp.float32)
+    ssumsq = (prefix_v2(end) - prefix_v2(start)).astype(jnp.float32)
     cnt = (end - start).astype(jnp.float32)
     nonempty = end > start
     smin = jnp.where(nonempty, v_sorted[jnp.clip(start, 0, v.shape[0] - 1)],
