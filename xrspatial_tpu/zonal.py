@@ -55,7 +55,7 @@ from functools import partial
 
 
 @partial(jax.jit, static_argnames=("num_segments", "has_nodata"))
-def _segment_stats(values, seg_ids, num_segments, nodata, has_nodata):
+def _segment_stats_sorted(values, seg_ids, num_segments, nodata, has_nodata):
     """Per-zone sum/count/sumsq/min/max with NaN+nodata exclusion.
 
     Sort-based: scatter-adds (jax.ops.segment_sum) are pathological on
@@ -118,6 +118,51 @@ def _segment_stats(values, seg_ids, num_segments, nodata, has_nodata):
                      v_sorted[jnp.clip(end - 1, 0, v.shape[0] - 1)],
                      -jnp.inf)
     return ssum, cnt, ssumsq, smin, smax
+
+
+@partial(jax.jit, static_argnames=("num_segments", "has_nodata"))
+def _segment_stats_scatter(values, seg_ids, num_segments, nodata,
+                           has_nodata):
+    """Scatter-based variant (jax.ops.segment_*).
+
+    Slower than the sort path on TPU in principle, but the variadic
+    ``lax.sort`` crashes the axon TPU worker (see _use_sorted_segments),
+    so this remains the TPU default.
+    """
+    v = values.ravel().astype(jnp.float32)
+    valid = jnp.isfinite(v)
+    if has_nodata:
+        valid = valid & (v != nodata)
+    seg = jnp.where(valid, seg_ids, num_segments)
+    w = valid.astype(jnp.float32)
+    vz = jnp.where(valid, v, 0.0)
+    n = num_segments + 1
+    ssum = jax.ops.segment_sum(vz, seg, num_segments=n)[:-1]
+    cnt = jax.ops.segment_sum(w, seg, num_segments=n)[:-1]
+    ssumsq = jax.ops.segment_sum(vz * vz, seg, num_segments=n)[:-1]
+    smin = jax.ops.segment_min(jnp.where(valid, v, jnp.inf), seg,
+                               num_segments=n)[:-1]
+    smax = jax.ops.segment_max(jnp.where(valid, v, -jnp.inf), seg,
+                               num_segments=n)[:-1]
+    return ssum, cnt, ssumsq, smin, smax
+
+
+def _use_sorted_segments() -> bool:
+    import os
+    forced = os.environ.get("XRSPATIAL_SORTED_SEGMENTS")
+    if forced is not None:
+        return forced == "1"
+    # the 2-key lax.sort reliably crashes the axon TPU worker; scatter is
+    # correct (and was measured working) there
+    return jax.default_backend() != "tpu"
+
+
+def _segment_stats(values, seg_ids, num_segments, nodata, has_nodata):
+    if _use_sorted_segments():
+        return _segment_stats_sorted(values, seg_ids, num_segments, nodata,
+                                     has_nodata)
+    return _segment_stats_scatter(values, seg_ids, num_segments, nodata,
+                                  has_nodata)
 
 
 def _derived_stats(ssum, cnt, ssumsq, smin, smax):
@@ -252,8 +297,12 @@ def stats(
 
     has_nodata = nodata_values is not None
     nodata = jnp.float32(nodata_values if has_nodata else 0.0)
-    from .utils import x64
-    with x64():  # float64 cumulative sums inside _segment_stats
+    if _use_sorted_segments():
+        from .utils import x64
+        with x64():  # float64 block-prefix sums inside the sorted variant
+            raw = _segment_stats(jnp.asarray(values.data), seg_ids,
+                                 len(unique_zones), nodata, has_nodata)
+    else:
         raw = _segment_stats(jnp.asarray(values.data), seg_ids,
                              len(unique_zones), nodata, has_nodata)
     derived = _derived_stats(*raw)
@@ -390,7 +439,11 @@ def crosstab(
         from .utils import x64
         for c in cats:
             li = int(np.nonzero(layer_labels == c)[0][0])
-            with x64():
+            if _use_sorted_segments():
+                with x64():
+                    raw = _segment_stats(cube[li], seg_ids, nz, nodata,
+                                         has_nodata)
+            else:
                 raw = _segment_stats(cube[li], seg_ids, nz, nodata,
                                      has_nodata)
             derived = _derived_stats(*raw)
