@@ -125,9 +125,10 @@ def _segment_stats_scatter(values, seg_ids, num_segments, nodata,
                            has_nodata):
     """Scatter-based variant (jax.ops.segment_*).
 
-    Slower than the sort path on TPU in principle, but the variadic
-    ``lax.sort`` crashes the axon TPU worker (see _use_sorted_segments),
-    so this remains the TPU default.
+    The TPU default: variadic (multi-key) ``lax.sort`` and int64 sorts are
+    minutes-slow / worker-wedging on the axon backend, while scatter
+    segment ops run in seconds at 16.7M elements (see
+    _use_sorted_segments).  CPU uses the sorted variant.
     """
     v = values.ravel().astype(jnp.float32)
     valid = jnp.isfinite(v)
@@ -152,8 +153,9 @@ def _use_sorted_segments() -> bool:
     forced = os.environ.get("XRSPATIAL_SORTED_SEGMENTS")
     if forced is not None:
         return forced == "1"
-    # the 2-key lax.sort reliably crashes the axon TPU worker; scatter is
-    # correct (and was measured working) there
+    # multi-key lax.sort is minutes-slow on the axon TPU backend (and a
+    # killed client wedges the worker); scatter is correct and measured
+    # working there
     return jax.default_backend() != "tpu"
 
 
