@@ -16,7 +16,7 @@ structure and optional 6-term affine transform
 
 from __future__ import annotations
 
-from typing import List, Optional, Tuple, Union
+from typing import List, Optional, Union
 
 import numpy as np
 

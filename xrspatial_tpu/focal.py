@@ -23,7 +23,7 @@ from .dataset_support import supports_dataset
 from .kernels.dispatch import run_stencil
 from .kernels.window import hotspots_classify, kernel_offsets, window_stats
 from .utils import to_jax, wrap_like, x64
-from .xrlib import DataArray, concat
+from .xrlib import DataArray
 
 __all__ = ["mean", "apply", "focal_stats", "hotspots"]
 

@@ -13,7 +13,6 @@ identical to the unpadded single-chip run.
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Callable
 
 import jax

@@ -21,7 +21,7 @@ Semantics mirrored:
 from __future__ import annotations
 
 from functools import partial
-from typing import Sequence, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp

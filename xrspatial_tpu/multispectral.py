@@ -16,7 +16,6 @@ import warnings
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from .dataset_support import supports_dataset_bands
 from .utils import to_jax, validate_arrays, wrap_like

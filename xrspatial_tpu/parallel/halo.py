@@ -17,7 +17,6 @@ r=k//2, ...) distributes through ``stencil_shard_map`` unchanged.
 from __future__ import annotations
 
 from dataclasses import dataclass
-from functools import partial
 from typing import Callable, Optional, Sequence
 
 import jax

@@ -17,7 +17,7 @@ from __future__ import annotations
 
 import heapq
 import warnings
-from typing import Optional, Union
+from typing import Optional
 
 import numpy as np
 

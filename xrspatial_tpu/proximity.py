@@ -20,8 +20,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from .dataset_support import supports_dataset
-from .kernels.jfa import (EUCLIDEAN, GREAT_CIRCLE, MANHATTAN, jump_flood,
-                          metric_distance)
+from .kernels.jfa import EUCLIDEAN, GREAT_CIRCLE, MANHATTAN, jump_flood
 from .utils import wrap_like
 from .xrlib import DataArray
 

@@ -11,8 +11,6 @@ geodesic.py:174-229) becomes a vectorized float64 program
 
 from __future__ import annotations
 
-from typing import Union
-
 import jax.numpy as jnp
 
 from .dataset_support import supports_dataset

@@ -14,7 +14,7 @@ utils.py:168-330 and utils.py:455-714.
 from __future__ import annotations
 
 import warnings
-from typing import Optional, Tuple, Union
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
