@@ -77,3 +77,27 @@ def test_warn_if_unit_mismatch():
         warnings.simplefilter("always")
         warn_if_unit_mismatch(agg)
     assert not rec
+
+
+def test_canvas_like():
+    from xrspatial_tpu.utils import canvas_like
+    rng = np.random.default_rng(2)
+    data = rng.random((20, 40)).astype(np.float32)
+    agg = create_test_raster(data, attrs={"res": (1, 1)})
+    out = canvas_like(agg, width=20)
+    assert out.shape[1] == 20
+    assert out.attrs["res"][0] == pytest.approx(
+        (np.asarray(agg["x"].data).max() - np.asarray(agg["x"].data).min())
+        / 20)
+    # downsampling by 2 picks nearest source cells; all values must come
+    # from the input
+    assert np.isin(np.asarray(out.data), data).all()
+
+
+def test_canvas_like_identity_size():
+    from xrspatial_tpu.utils import canvas_like
+    data = np.arange(12, dtype=np.float32).reshape(3, 4)
+    agg = create_test_raster(data, attrs={"res": (1, 1)})
+    out = canvas_like(agg, width=4, height=3)
+    # y ascending output vs input's descending coords -> rows flipped
+    np.testing.assert_array_equal(np.asarray(out.data), data[::-1])

@@ -23,6 +23,7 @@ import numpy as np
 from .xrlib import DataArray
 
 __all__ = [
+    "canvas_like",
     "get_dataarray_resolution",
     "calc_res",
     "get_xy_range",
@@ -326,6 +327,54 @@ def wrap_like(agg, out, name: Optional[str] = None) -> DataArray:
     """
     return DataArray(out, name=name, coords=agg.coords, dims=agg.dims,
                      attrs=agg.attrs)
+
+
+def canvas_like(raster, width: int = 512, height: Optional[int] = None,
+                x_range: Optional[tuple] = None,
+                y_range: Optional[tuple] = None, layer=None):
+    """Resample a raster onto a canvas grid (nearest neighbor).
+
+    Reimplements the reference's datashader-backed ``canvas_like``
+    (utils.py:374-443) without datashader: output pixel centers follow the
+    Canvas convention and each samples the nearest input cell.  The gather
+    is separable (whole-row then whole-column takes), which TPUs handle
+    efficiently — unlike per-element gathers.
+    """
+    if raster.ndim == 3 and layer is not None:
+        raster = raster.sel({raster.dims[0]: layer})
+    ydim, xdim = raster.dims[-2], raster.dims[-1]
+    x_coords = np.asarray(raster[xdim].data, dtype=np.float64)
+    y_coords = np.asarray(raster[ydim].data, dtype=np.float64)
+    if x_range is None:
+        x_range = (float(x_coords.min()), float(x_coords.max()))
+    if y_range is None:
+        y_range = (float(y_coords.min()), float(y_coords.max()))
+    if height is None:
+        height = height_implied_by_aspect_ratio(width, x_range, y_range)
+
+    # output pixel centers (Canvas convention)
+    dx = (x_range[1] - x_range[0]) / width
+    dy = (y_range[1] - y_range[0]) / height
+    out_x = x_range[0] + dx * (np.arange(width) + 0.5)
+    out_y = y_range[0] + dy * (np.arange(height) + 0.5)
+
+    # nearest-neighbor source indices (host: coords are 1-D)
+    xi = np.abs(out_x[None, :] - x_coords[:, None]).argmin(axis=0)
+    yi = np.abs(out_y[None, :] - y_coords[:, None]).argmin(axis=0)
+    # orient output like datashader (y ascending)
+    data = jnp.asarray(raster.data)
+    resampled = jnp.take(jnp.take(data, jnp.asarray(yi), axis=-2),
+                         jnp.asarray(xi), axis=-1)
+
+    out = DataArray(resampled, name=raster.name,
+                    dims=raster.dims, attrs=dict(raster.attrs))
+    for cname, cval in raster.coords.items():
+        if cname not in (ydim, xdim):
+            out.coords[cname] = cval
+    out.coords[ydim] = out_y
+    out.coords[xdim] = out_x
+    out.attrs["res"] = (dx, dy)
+    return out
 
 
 def nan_border(arr: jax.Array, radius: int = 1) -> jax.Array:
