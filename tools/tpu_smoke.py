@@ -56,7 +56,30 @@ def main():
     small["y"] = np.arange(100, dtype=float)[::-1]
     small["x"] = np.arange(100, dtype=float)
 
+    def _pallas_surface_parity():
+        import jax.numpy as jnp
+
+        from xrspatial_tpu.kernels.pallas_surface import surface_pallas
+        from xrspatial_tpu.kernels.surface import (aspect_jit, curvature_jit,
+                                                   hillshade_jit, slope_jit)
+        d = jnp.asarray(data[:300, :500])
+        which = ("slope", "aspect", "curvature", "hillshade")
+        out = np.asarray(surface_pallas(
+            d, jnp.float32(2.0), jnp.float32(3.0), jnp.float32(225.0),
+            jnp.float32(25.0), which))
+        refs = [slope_jit(d, jnp.float32(2.0), jnp.float32(3.0)),
+                aspect_jit(d), curvature_jit(d, jnp.float32(2.5)),
+                hillshade_jit(d, jnp.float32(225.0), jnp.float32(25.0))]
+        for k, name in enumerate(which):
+            ref = np.asarray(refs[k])
+            m = ~(np.isnan(out[k]) | np.isnan(ref))
+            assert (np.isnan(out[k]) == np.isnan(ref)).all(), name
+            np.testing.assert_allclose(out[k][m], ref[m], atol=5e-4,
+                                       err_msg=name)
+        return out
+
     checks = [
+        ("pallas surface parity", _pallas_surface_parity),
         ("slope", lambda: slope(agg).data),
         ("aspect", lambda: aspect(agg).data),
         ("curvature", lambda: curvature(agg).data),

@@ -11,7 +11,6 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
-from .kernels.surface import surface_multi
 from .utils import get_dataarray_resolution, to_jax, wrap_like
 from .xrlib import DataArray, Dataset
 
@@ -29,12 +28,9 @@ def summarize_terrain(terrain: DataArray) -> Dataset:
         raise NameError('Requires DataArray.name property to be set')
 
     cellsize_x, cellsize_y = get_dataarray_resolution(terrain)
-    outs = surface_multi(
-        to_jax(terrain),
-        jnp.float32(cellsize_x), jnp.float32(cellsize_y),
-        jnp.float32(225.0), jnp.float32(25.0),
-        which=("slope", "aspect", "curvature"),
-    )
+    from .kernels.surface import surface_kernels
+    outs = surface_kernels(to_jax(terrain), ("slope", "aspect", "curvature"),
+                           cellsize_x, cellsize_y)
 
     ds = terrain.to_dataset()
     ds[f'{terrain.name}-slope'] = wrap_like(terrain, outs["slope"],

@@ -45,7 +45,13 @@ def aspect(agg: DataArray,
             f"method must be 'planar' or 'geodesic', got {method!r}")
 
     if method == 'planar':
-        out = run_stencil(aspect_jit, 1, to_jax(agg))
+        data = to_jax(agg)
+        from .kernels.surface import surface_kernels, use_pallas_surface
+        from .parallel.halo import get_raster_mesh
+        if get_raster_mesh(data) is None and use_pallas_surface(data):
+            out = surface_kernels(data, ("aspect",))["aspect"]
+        else:
+            out = run_stencil(aspect_jit, 1, data)
     else:
         if z_unit not in Z_UNITS:
             raise ValueError(

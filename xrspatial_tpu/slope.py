@@ -56,8 +56,16 @@ def slope(agg: DataArray,
 
     if method == 'planar':
         cellsize_x, cellsize_y = get_dataarray_resolution(agg)
-        out = run_stencil(slope_jit, 1, to_jax(agg),
-                          jnp.float32(cellsize_x), jnp.float32(cellsize_y))
+        data = to_jax(agg)
+        from .kernels.surface import surface_kernels, use_pallas_surface
+        from .parallel.halo import get_raster_mesh
+        if get_raster_mesh(data) is None and use_pallas_surface(data):
+            out = surface_kernels(data, ("slope",), cellsize_x,
+                                  cellsize_y)["slope"]
+        else:
+            out = run_stencil(slope_jit, 1, data,
+                              jnp.float32(cellsize_x),
+                              jnp.float32(cellsize_y))
     else:
         if z_unit not in Z_UNITS:
             raise ValueError(
