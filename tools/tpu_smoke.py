@@ -62,7 +62,8 @@ def main():
         from xrspatial_tpu.kernels.pallas_surface import surface_pallas
         from xrspatial_tpu.kernels.surface import (aspect_jit, curvature_jit,
                                                    hillshade_jit, slope_jit)
-        d = jnp.asarray(data[:300, :500])
+        rng2 = np.random.default_rng(3)
+        d = jnp.asarray((rng2.random((2048, 2048)) * 500).astype(np.float32))
         which = ("slope", "aspect", "curvature", "hillshade")
         out = np.asarray(surface_pallas(
             d, jnp.float32(2.0), jnp.float32(3.0), jnp.float32(225.0),

@@ -74,80 +74,77 @@ def _round_up(x, m):
 
 
 def _make_kernel(which, th, tw, sh, sw, gi, gj):
-    def inner(csx_ref, csy_ref, az_ref, alt_ref, in_ref, out_ref):
-        def shift(dy, dx):
-            return in_ref[1 + dy:1 + dy + th, 1 + dx:1 + dx + tw]
-
-        a = shift(-1, -1)
-        b = shift(-1, 0)
-        c = shift(-1, 1)
-        d = shift(0, -1)
-        e = shift(0, 0)
-        f = shift(0, 1)
-        g = shift(1, -1)
-        h = shift(1, 0)
-        ii = shift(1, 1)
-
+    def outer(csx_ref, csy_ref, az_ref, alt_ref, in_hbm, out_hbm):
+        # scalars live in SMEM on the outer kernel; the inner pipeline body
+        # closes over them (tiny blocks cannot ride the DMA pipeline: slice
+        # shapes must align to the (8, 128) tiling)
         csx = csx_ref[0, 0]
         csy = csy_ref[0, 0]
+        az_v = az_ref[0, 0]
+        alt_v = alt_ref[0, 0]
 
-        need_horn = any(s in which for s in ("slope", "aspect"))
-        if need_horn:
-            dzdx8 = (c + 2.0 * f + ii) - (a + 2.0 * d + g)
-            dzdy8 = (g + 2.0 * h + ii) - (a + 2.0 * b + c)
+        def inner(in_ref, out_ref):
+            def shift(dy, dx):
+                return in_ref[1 + dy:1 + dy + th, 1 + dx:1 + dx + tw]
 
-        for k, stat in enumerate(which):
-            if stat == "slope":
-                gx = dzdx8 / (8.0 * csx)
-                gy = dzdy8 / (8.0 * csy)
-                out_ref[k] = _atan(jnp.sqrt(gx * gx + gy * gy)) * DEG
-            elif stat == "aspect":
-                gx = dzdx8 / 8.0
-                gy = dzdy8 / 8.0
-                angle = _atan2(gy, -gx) * (180.0 / jnp.pi)
-                compass = jnp.where(
-                    angle < 0.0, 90.0 - angle,
-                    jnp.where(angle > 90.0, 450.0 - angle, 90.0 - angle))
-                flat = (gx == 0.0) & (gy == 0.0)
-                out_ref[k] = jnp.where(flat, -1.0, compass)
-            elif stat == "curvature":
-                cs = (csx + csy) * 0.5
-                dd = (h + b) * 0.5 - e
-                ee = (f + d) * 0.5 - e
-                out_ref[k] = -2.0 * (dd + ee) * 100.0 / (cs * cs)
-            elif stat == "hillshade":
-                gxr = (h - b) * 0.5
-                gyc = (f - d) * 0.5
-                az = 360.0 - az_ref[0, 0]
-                slope_r = jnp.pi / 2.0 - _atan(
-                    jnp.sqrt(gxr * gxr + gyc * gyc))
-                aspect_r = _atan2(-gxr, gyc)
-                azrad = az * jnp.pi / 180.0
-                altrad = alt_ref[0, 0] * jnp.pi / 180.0
-                shaded = (jnp.sin(altrad) * jnp.sin(slope_r)
-                          + jnp.cos(altrad) * jnp.cos(slope_r)
-                          * jnp.cos((azrad - jnp.pi / 2.0) - aspect_r))
-                out_ref[k] = (shaded + 1.0) / 2.0
+            a = shift(-1, -1)
+            b = shift(-1, 0)
+            c = shift(-1, 1)
+            d = shift(0, -1)
+            e = shift(0, 0)
+            f = shift(0, 1)
+            g = shift(1, -1)
+            h = shift(1, 0)
+            ii = shift(1, 1)
 
-    nk = len(which)
+            need_horn = any(s in which for s in ("slope", "aspect"))
+            if need_horn:
+                dzdx8 = (c + 2.0 * f + ii) - (a + 2.0 * d + g)
+                dzdy8 = (g + 2.0 * h + ii) - (a + 2.0 * b + c)
 
-    def outer(csx_hbm, csy_hbm, az_hbm, alt_hbm, in_hbm, out_hbm):
-        # scalars ride along as tiny whole-array blocks; the DEM streams
-        # through emit_pipeline's double-buffered halo windows
+            for k, stat in enumerate(which):
+                if stat == "slope":
+                    gx = dzdx8 / (8.0 * csx)
+                    gy = dzdy8 / (8.0 * csy)
+                    out_ref[k] = _atan(jnp.sqrt(gx * gx + gy * gy)) * DEG
+                elif stat == "aspect":
+                    gx = dzdx8 / 8.0
+                    gy = dzdy8 / 8.0
+                    angle = _atan2(gy, -gx) * (180.0 / jnp.pi)
+                    compass = jnp.where(
+                        angle < 0.0, 90.0 - angle,
+                        jnp.where(angle > 90.0, 450.0 - angle,
+                                  90.0 - angle))
+                    flat = (gx == 0.0) & (gy == 0.0)
+                    out_ref[k] = jnp.where(flat, -1.0, compass)
+                elif stat == "curvature":
+                    cs = (csx + csy) * 0.5
+                    dd = (h + b) * 0.5 - e
+                    ee = (f + d) * 0.5 - e
+                    out_ref[k] = -2.0 * (dd + ee) * 100.0 / (cs * cs)
+                elif stat == "hillshade":
+                    gxr = (h - b) * 0.5
+                    gyc = (f - d) * 0.5
+                    az = 360.0 - az_v
+                    slope_r = jnp.pi / 2.0 - _atan(
+                        jnp.sqrt(gxr * gxr + gyc * gyc))
+                    aspect_r = _atan2(-gxr, gyc)
+                    azrad = az * jnp.pi / 180.0
+                    altrad = alt_v * jnp.pi / 180.0
+                    shaded = (jnp.sin(altrad) * jnp.sin(slope_r)
+                              + jnp.cos(altrad) * jnp.cos(slope_r)
+                              * jnp.cos((azrad - jnp.pi / 2.0) - aspect_r))
+                    out_ref[k] = (shaded + 1.0) / 2.0
+
+        nk = len(which)
         pltpu.emit_pipeline(
             inner,
             grid=(gi, gj),
-            in_specs=[
-                pl.BlockSpec((1, 1), lambda i, j: (0, 0)),
-                pl.BlockSpec((1, 1), lambda i, j: (0, 0)),
-                pl.BlockSpec((1, 1), lambda i, j: (0, 0)),
-                pl.BlockSpec((1, 1), lambda i, j: (0, 0)),
-                pl.BlockSpec(
-                    (pl.BoundedSlice(sh), pl.BoundedSlice(sw)),
-                    lambda i, j: (pl.ds(i * th, sh), pl.ds(j * tw, sw))),
-            ],
+            in_specs=[pl.BlockSpec(
+                (pl.BoundedSlice(sh), pl.BoundedSlice(sw)),
+                lambda i, j: (pl.ds(i * th, sh), pl.ds(j * tw, sw)))],
             out_specs=[pl.BlockSpec((nk, th, tw), lambda i, j: (0, i, j))],
-        )(csx_hbm, csy_hbm, az_hbm, alt_hbm, in_hbm, out_hbm)
+        )(in_hbm, out_hbm)
 
     return outer
 
@@ -165,6 +162,12 @@ def surface_pallas(data, cellsize_x, cellsize_y, azimuth, angle_altitude,
     h, w = data.shape
     th = min(TILE_H, _round_up(max(8, h), 8))
     tw = min(TILE_W, _round_up(max(128, w), 128))
+    # grid dims of 1 trip a Slice-pytree canonicalization bug in the
+    # pipeline emitter; halve tiles until every grid dim is >= 2
+    while h > th and -(-h // th) < 2 and th > 8:
+        th = _round_up(th // 2, 8)
+    while w > tw and -(-w // tw) < 2 and tw > 128:
+        tw = _round_up(tw // 2, 128)
     hp = -(-h // th) * th
     wp = -(-w // tw) * tw
     sh = _round_up(th + 2, 8)
@@ -177,9 +180,11 @@ def surface_pallas(data, cellsize_x, cellsize_y, azimuth, angle_altitude,
     k = len(which)
     scalar = lambda v: jnp.full((1, 1), v, jnp.float32)  # noqa: E731
     outer = _make_kernel(which, th, tw, sh, sw, hp // th, wp // tw)
+    smem = pl.BlockSpec(memory_space=pltpu.SMEM)
     out = pl.pallas_call(
         outer,
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * 5,
+        in_specs=[smem, smem, smem, smem,
+                  pl.BlockSpec(memory_space=pltpu.ANY)],
         out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
         out_shape=jax.ShapeDtypeStruct((k, hp, wp), jnp.float32),
         interpret=interpret,
