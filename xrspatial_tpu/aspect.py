@@ -48,7 +48,7 @@ def aspect(agg: DataArray,
         data = to_jax(agg)
         from .kernels.surface import surface_kernels, use_pallas_surface
         from .parallel.halo import get_raster_mesh
-        if get_raster_mesh(data) is None and use_pallas_surface(data):
+        if get_raster_mesh(data) is None and use_pallas_surface(data, ("aspect",)):
             out = surface_kernels(data, ("aspect",))["aspect"]
         else:
             out = run_stencil(aspect_jit, 1, data)

@@ -35,7 +35,7 @@ def curvature(agg: DataArray,
     data = to_jax(agg)
     from .kernels.surface import surface_kernels, use_pallas_surface
     from .parallel.halo import get_raster_mesh
-    if get_raster_mesh(data) is None and use_pallas_surface(data):
+    if get_raster_mesh(data) is None and use_pallas_surface(data, ("curvature",)):
         out = surface_kernels(data, ("curvature",), cellsize,
                               cellsize)["curvature"]
     else:

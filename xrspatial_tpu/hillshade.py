@@ -58,7 +58,7 @@ def hillshade(agg: DataArray,
     else:
         from .kernels.surface import surface_kernels, use_pallas_surface
         from .parallel.halo import get_raster_mesh
-        if get_raster_mesh(data) is None and use_pallas_surface(data):
+        if get_raster_mesh(data) is None and use_pallas_surface(data, ("hillshade",)):
             out = surface_kernels(
                 data, ("hillshade",), azimuth=azimuth,
                 angle_altitude=angle_altitude)["hillshade"]

@@ -151,12 +151,18 @@ def hillshade_jit(data, azimuth, angle_altitude):
 import os
 
 
-def use_pallas_surface(data) -> bool:
-    """Pipelined Pallas stencils beat fused XLA ~2x on TPU at scale; small
-    outputs hit XLA's whole-result-in-VMEM quirk, so gate by size."""
+def use_pallas_surface(data, which=("slope",)) -> bool:
+    """Pipelined Pallas stencils beat fused XLA on TPU at scale for the
+    cheap-epilogue products (slope 14.7 vs 19.4 ms, aspect 16.1 vs 19.3,
+    curvature 11.0 vs 13.5 at 16k^2); hillshade's sin/cos/atan chain runs
+    faster through XLA's fused transcendentals (24.9 vs 37.4 ms), so it
+    stays on the XLA path.  Small outputs hit XLA's whole-result-in-VMEM
+    quirk, so gate by size."""
     if os.environ.get("XRSPATIAL_NO_PALLAS") == "1":
         return False
     if jax.default_backend() != "tpu":
+        return False
+    if "hillshade" in which:
         return False
     return data.size >= (2048 * 2048)
 
@@ -165,7 +171,7 @@ def surface_kernels(data, which, cellsize_x=1.0, cellsize_y=1.0,
                     azimuth=225.0, angle_altitude=25.0):
     """Compute the requested surface products, choosing the Pallas
     streaming kernel on TPU at scale, else the fused-XLA path."""
-    if use_pallas_surface(data):
+    if use_pallas_surface(data, which):
         from .pallas_surface import surface_pallas
         out = surface_pallas(data, jnp.float32(cellsize_x),
                              jnp.float32(cellsize_y), jnp.float32(azimuth),

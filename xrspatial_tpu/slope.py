@@ -59,7 +59,7 @@ def slope(agg: DataArray,
         data = to_jax(agg)
         from .kernels.surface import surface_kernels, use_pallas_surface
         from .parallel.halo import get_raster_mesh
-        if get_raster_mesh(data) is None and use_pallas_surface(data):
+        if get_raster_mesh(data) is None and use_pallas_surface(data, ("slope",)):
             out = surface_kernels(data, ("slope",), cellsize_x,
                                   cellsize_y)["slope"]
         else:
