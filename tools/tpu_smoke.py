@@ -79,8 +79,26 @@ def main():
                                        err_msg=name)
         return out
 
+    def _pallas_focal_parity():
+        import jax.numpy as jnp
+
+        from xrspatial_tpu.kernels.pallas_window import focal_stats_pallas
+        from xrspatial_tpu.kernels.window import kernel_offsets, window_stats
+        rng2 = np.random.default_rng(4)
+        d = jnp.asarray((rng2.random((2048, 2048)) * 500).astype(np.float32))
+        offs = kernel_offsets(kernel)
+        sts = ("mean", "max", "min", "std", "var", "sum", "range")
+        out = np.asarray(focal_stats_pallas(d, offs, sts))
+        ref = window_stats(d, offs, sts)
+        ref = np.asarray(jnp.stack([ref[s] for s in sts]))
+        m = ~(np.isnan(out) | np.isnan(ref))
+        assert (np.isnan(out) == np.isnan(ref)).all()
+        np.testing.assert_allclose(out[m], ref[m], atol=1e-3)
+        return out
+
     checks = [
         ("pallas surface parity", _pallas_surface_parity),
+        ("pallas focal parity", _pallas_focal_parity),
         ("slope", lambda: slope(agg).data),
         ("aspect", lambda: aspect(agg).data),
         ("curvature", lambda: curvature(agg).data),

@@ -34,72 +34,75 @@ def _round_up(x, m):
     return -(-x // m) * m
 
 
-def _make_kernel(offsets, stats, ry, rx, th, tw):
+def _make_kernel(offsets, stats, ry, rx, th, tw, sh, sw, gi, gj):
     n_off = len(offsets)
-    # DMA slice shapes must align to the f32 (8, 128) tiling
-    sh = _round_up(th + 2 * ry, 8)
-    sw = _round_up(tw + 2 * rx, 128)
 
-    def kernel(in_hbm, out_ref, scratch, sem):
-        i = pl.program_id(0)
-        j = pl.program_id(1)
-        copy = pltpu.make_async_copy(
-            in_hbm.at[pl.ds(i * th, sh), pl.ds(j * tw, sw)],
-            scratch, sem)
-        copy.start()
-        copy.wait()
+    def outer(in_hbm, out_hbm):
+        def inner(in_ref, out_ref):
+            def shift(dy, dx):
+                return in_ref[ry + dy:ry + dy + th, rx + dx:rx + dx + tw]
 
-        def shift(dy, dx):
-            return scratch[ry + dy:ry + dy + th, rx + dx:rx + dx + tw]
+            need_sum = any(s in stats for s in ("sum", "mean", "std", "var"))
+            need_minmax = any(s in stats for s in ("min", "max", "range"))
 
-        need_sum = any(s in stats for s in ("sum", "mean", "std", "var"))
-        need_minmax = any(s in stats for s in ("min", "max", "range"))
+            if need_sum:
+                cnt = jnp.zeros((th, tw), jnp.float32)
+                ssum = jnp.zeros((th, tw), jnp.float32)
+                for dy, dx in offsets:
+                    s = shift(dy, dx)
+                    ok = ~jnp.isnan(s)
+                    cnt += ok.astype(jnp.float32)
+                    ssum += jnp.where(ok, s, 0.0)
+                mean = jnp.where(cnt > 0, ssum / jnp.maximum(cnt, 1.0),
+                                 jnp.nan)
+            if need_minmax:
+                smin = jnp.full((th, tw), jnp.inf, jnp.float32)
+                smax = jnp.full((th, tw), -jnp.inf, jnp.float32)
+                for dy, dx in offsets:
+                    s = shift(dy, dx)
+                    smin = jnp.minimum(smin,
+                                       jnp.where(jnp.isnan(s), jnp.inf, s))
+                    smax = jnp.maximum(smax,
+                                       jnp.where(jnp.isnan(s), -jnp.inf, s))
+                smin = jnp.where(jnp.isinf(smin), jnp.nan, smin)
+                smax = jnp.where(jnp.isinf(smax), jnp.nan, smax)
+            if "std" in stats or "var" in stats:
+                dev2 = jnp.zeros((th, tw), jnp.float32)
+                for dy, dx in offsets:
+                    s = shift(dy, dx)
+                    d = s - mean
+                    dev2 += jnp.where(jnp.isnan(s), 0.0, d * d)
+                var = jnp.where(cnt > 0, dev2 / jnp.maximum(cnt, 1.0),
+                                jnp.nan)
 
-        if need_sum:
-            cnt = jnp.zeros((th, tw), jnp.float32)
-            ssum = jnp.zeros((th, tw), jnp.float32)
-            for dy, dx in offsets:
-                s = shift(dy, dx)
-                ok = ~jnp.isnan(s)
-                cnt += ok.astype(jnp.float32)
-                ssum += jnp.where(ok, s, 0.0)
-            mean = jnp.where(cnt > 0, ssum / jnp.maximum(cnt, 1.0), jnp.nan)
-        if need_minmax:
-            smin = jnp.full((th, tw), jnp.inf, jnp.float32)
-            smax = jnp.full((th, tw), -jnp.inf, jnp.float32)
-            for dy, dx in offsets:
-                s = shift(dy, dx)
-                smin = jnp.minimum(smin, jnp.where(jnp.isnan(s), jnp.inf, s))
-                smax = jnp.maximum(smax, jnp.where(jnp.isnan(s), -jnp.inf, s))
-            smin = jnp.where(jnp.isinf(smin), jnp.nan, smin)
-            smax = jnp.where(jnp.isinf(smax), jnp.nan, smax)
-        if "std" in stats or "var" in stats:
-            dev2 = jnp.zeros((th, tw), jnp.float32)
-            for dy, dx in offsets:
-                s = shift(dy, dx)
-                d = s - mean
-                dev2 += jnp.where(jnp.isnan(s), 0.0, d * d)
-            var = jnp.where(cnt > 0, dev2 / jnp.maximum(cnt, 1.0), jnp.nan)
+            for k, stat in enumerate(stats):
+                if stat == "mean":
+                    out_ref[k] = mean
+                elif stat == "sum":
+                    out_ref[k] = ssum
+                elif stat == "min":
+                    out_ref[k] = smin
+                elif stat == "max":
+                    out_ref[k] = smax
+                elif stat == "range":
+                    out_ref[k] = smax - smin
+                elif stat == "var":
+                    out_ref[k] = var
+                elif stat == "std":
+                    out_ref[k] = jnp.sqrt(var)
 
-        for k, stat in enumerate(stats):
-            if stat == "mean":
-                out_ref[k] = mean
-            elif stat == "sum":
-                out_ref[k] = ssum
-            elif stat == "min":
-                out_ref[k] = smin
-            elif stat == "max":
-                out_ref[k] = smax
-            elif stat == "range":
-                out_ref[k] = smax - smin
-            elif stat == "var":
-                out_ref[k] = var
-            elif stat == "std":
-                out_ref[k] = jnp.sqrt(var)
+        nk = len(stats)
+        pltpu.emit_pipeline(
+            inner,
+            grid=(gi, gj),
+            in_specs=[pl.BlockSpec(
+                (pl.BoundedSlice(sh), pl.BoundedSlice(sw)),
+                lambda i, j: (pl.ds(i * th, sh), pl.ds(j * tw, sw)))],
+            out_specs=[pl.BlockSpec((nk, th, tw), lambda i, j: (0, i, j))],
+        )(in_hbm, out_hbm)
 
-    vmem_scratch = pltpu.VMEM((sh, sw), jnp.float32)
     flops_per_px = n_off * (4 + 2 * ("std" in stats or "var" in stats))
-    return kernel, vmem_scratch, flops_per_px, sh, sw
+    return outer, flops_per_px
 
 
 @partial(jax.jit, static_argnames=("offsets", "stats", "interpret"))
@@ -108,7 +111,7 @@ def focal_stats_pallas(data, offsets, stats, interpret=False):
 
     offsets: tuple of (dy, dx) kernel-footprint offsets; stats: tuple of
     stat names.  Equivalent to kernels/window.py::window_stats but in one
-    streaming pass.
+    double-buffered streaming pass (pltpu.emit_pipeline).
     """
     data = data.astype(jnp.float32)
     h, w = data.shape
@@ -117,11 +120,19 @@ def focal_stats_pallas(data, offsets, stats, interpret=False):
 
     th = min(TILE_H, _round_up(max(8, h), 8))
     tw = min(TILE_W, _round_up(max(128, w), 128))
+    # grid dims of 1 trip a Slice-pytree canonicalization bug in the
+    # pipeline emitter; halve tiles until every grid dim is >= 2
+    while h > th and -(-h // th) < 2 and th > 8:
+        th = _round_up(th // 2, 8)
+    while w > tw and -(-w // tw) < 2 and tw > 128:
+        tw = _round_up(tw // 2, 128)
     hp = -(-h // th) * th
     wp = -(-w // tw) * tw
+    sh = _round_up(th + 2 * ry, 8)
+    sw = _round_up(tw + 2 * rx, 128)
 
-    kernel, vmem_scratch, flops_px, sh, sw = _make_kernel(
-        offsets, stats, ry, rx, th, tw)
+    kernel, flops_px = _make_kernel(offsets, stats, ry, rx, th, tw, sh, sw,
+                                    hp // th, wp // tw)
 
     # last tile's aligned DMA window reads up to (hp - th + sh, wp - tw + sw)
     padded = jnp.pad(
@@ -131,13 +142,9 @@ def focal_stats_pallas(data, offsets, stats, interpret=False):
     n_stats = len(stats)
     out = pl.pallas_call(
         kernel,
-        grid=(hp // th, wp // tw),
         in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
-        out_specs=pl.BlockSpec((n_stats, th, tw),
-                               lambda i, j: (0, i, j),
-                               memory_space=pltpu.VMEM),
+        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
         out_shape=jax.ShapeDtypeStruct((n_stats, hp, wp), jnp.float32),
-        scratch_shapes=[vmem_scratch, pltpu.SemaphoreType.DMA(())],
         cost_estimate=pl.CostEstimate(
             flops=flops_px * hp * wp,
             bytes_accessed=(hp * wp * 4) * (1 + n_stats),
