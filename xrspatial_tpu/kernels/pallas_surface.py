@@ -123,17 +123,20 @@ def _make_kernel(which, th, tw, sh, sw, gi, gj):
                     ee = (f + d) * 0.5 - e
                     out_ref[k] = -2.0 * (dd + ee) * 100.0 / (cs * cs)
                 elif stat == "hillshade":
+                    # transcendental-free epilogue (see
+                    # kernels/surface.py::hillshade_from_gradient)
                     gxr = (h - b) * 0.5
                     gyc = (f - d) * 0.5
-                    az = 360.0 - az_v
-                    slope_r = jnp.pi / 2.0 - _atan(
-                        jnp.sqrt(gxr * gxr + gyc * gyc))
-                    aspect_r = _atan2(-gxr, gyc)
-                    azrad = az * jnp.pi / 180.0
-                    altrad = alt_v * jnp.pi / 180.0
-                    shaded = (jnp.sin(altrad) * jnp.sin(slope_r)
-                              + jnp.cos(altrad) * jnp.cos(slope_r)
-                              * jnp.cos((azrad - jnp.pi / 2.0) - aspect_r))
+                    azrad = (360.0 - az_v) * (jnp.pi / 180.0)
+                    altrad = alt_v * (jnp.pi / 180.0)
+                    phi = azrad - jnp.pi / 2.0
+                    sin_a = jnp.sin(altrad)
+                    cos_a = jnp.cos(altrad)
+                    cos_p = jnp.cos(phi)
+                    sin_p = jnp.sin(phi)
+                    shaded = ((sin_a + cos_a * (cos_p * gyc - sin_p * gxr))
+                              * jax.lax.rsqrt(
+                                  1.0 + gxr * gxr + gyc * gyc))
                     out_ref[k] = (shaded + 1.0) / 2.0
 
         nk = len(which)

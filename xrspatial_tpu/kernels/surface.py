@@ -94,21 +94,28 @@ def curvature_from_center(nb, cellsize):
 
 
 def hillshade_from_gradient(nb, azimuth, angle_altitude):
-    """Matches the reference's np.gradient formulation (hillshade.py:20-35).
+    """Matches the reference's np.gradient formulation (hillshade.py:20-35),
+    algebraically simplified to remove all per-pixel transcendentals.
 
-    ``x = d/d(row)`` and ``y = d/d(col)`` central differences.
+    With L = |grad| and aspect = atan2(-gx, gy):
+      sin(pi/2 - atan L) = 1/sqrt(1+L^2),  cos(pi/2 - atan L) = L/sqrt(1+L^2)
+      cos(phi - aspect)  = (cos(phi)*gy - sin(phi)*gx) / L
+    so  shaded = (sinA + cosA*(cos(phi)*gy - sin(phi)*gx)) * rsqrt(1+L^2)
+    — the L factors cancel; only one rsqrt per pixel remains (the scalar
+    sin/cos of phi and altitude are computed once).
     """
     a, b, c, d, e, f, g, h, i = nb
     gx = (h - b) * 0.5  # gradient along axis 0 (rows)
     gy = (f - d) * 0.5  # gradient along axis 1 (cols)
-    az = 360.0 - azimuth
-    slope = jnp.pi / 2.0 - jnp.arctan(jnp.sqrt(gx * gx + gy * gy))
-    aspect = jnp.arctan2(-gx, gy)
-    azrad = az * jnp.pi / 180.0
-    altrad = angle_altitude * jnp.pi / 180.0
-    shaded = (jnp.sin(altrad) * jnp.sin(slope)
-              + jnp.cos(altrad) * jnp.cos(slope)
-              * jnp.cos((azrad - jnp.pi / 2.0) - aspect))
+    azrad = (360.0 - azimuth) * (jnp.pi / 180.0)
+    altrad = angle_altitude * (jnp.pi / 180.0)
+    phi = azrad - jnp.pi / 2.0
+    sin_a = jnp.sin(altrad)
+    cos_a = jnp.cos(altrad)
+    cos_p = jnp.cos(phi)
+    sin_p = jnp.sin(phi)
+    shaded = ((sin_a + cos_a * (cos_p * gy - sin_p * gx))
+              * jax.lax.rsqrt(1.0 + gx * gx + gy * gy))
     return (shaded + 1.0) / 2.0
 
 
