@@ -152,9 +152,9 @@ def _make_kernel(which, th, tw, sh, sw, gi, gj):
     return outer
 
 
-@partial(jax.jit, static_argnames=("which", "interpret"))
+@partial(jax.jit, static_argnames=("which", "interpret", "squeeze"))
 def surface_pallas(data, cellsize_x, cellsize_y, azimuth, angle_altitude,
-                   which=("slope",), interpret=False):
+                   which=("slope",), interpret=False, squeeze=False):
     """(K, H, W) stacked surface products with 1-cell NaN borders.
 
     One double-buffered streaming pass (pltpu.emit_pipeline) computes every
@@ -193,4 +193,7 @@ def surface_pallas(data, cellsize_x, cellsize_y, azimuth, angle_altitude,
         interpret=interpret,
     )(scalar(cellsize_x), scalar(cellsize_y), scalar(azimuth),
       scalar(angle_altitude), padded)
-    return out[:, :h, :w]
+    out = out[:, :h, :w]
+    # in-jit squeeze for single-product calls: slicing outside the jit
+    # would materialize an extra full copy
+    return out[0] if (squeeze and len(which) == 1) else out

@@ -180,6 +180,13 @@ def surface_kernels(data, which, cellsize_x=1.0, cellsize_y=1.0,
     streaming kernel on TPU at scale, else the fused-XLA path."""
     if use_pallas_surface(data, which):
         from .pallas_surface import surface_pallas
+        if len(which) == 1:
+            out = surface_pallas(data, jnp.float32(cellsize_x),
+                                 jnp.float32(cellsize_y),
+                                 jnp.float32(azimuth),
+                                 jnp.float32(angle_altitude), tuple(which),
+                                 squeeze=True)
+            return {which[0]: out}
         out = surface_pallas(data, jnp.float32(cellsize_x),
                              jnp.float32(cellsize_y), jnp.float32(azimuth),
                              jnp.float32(angle_altitude), tuple(which))
