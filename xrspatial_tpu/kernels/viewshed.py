@@ -303,14 +303,14 @@ def _viewshed_xdraw_impl(data, vp_row, vp_col, observer_elev, target_elev,
     p_dx = jnp.where(dom_y, 0.0, -sx)
     s_dy = -sy
     s_dx = -sx
-    # interpolation weight of the secondary neighbor: fractional off-axis
-    # position of the ray crossing at ring k-1
+    # interpolation weight of the secondary neighbor: the ray crosses ring
+    # k-1 at minor coordinate m* = minor*(k-1)/k, which lies between the
+    # secondary (minor-1) and primary (minor) neighbors; linear
+    # interpolation puts weight (minor - m*) = minor/k on the secondary
     denom = jnp.maximum(jnp.maximum(ady, adx), 1.0)
     minor = jnp.minimum(ady, adx)
-    frac = minor * (denom - 1.0) / denom - jnp.floor(
-        minor * (denom - 1.0) / denom)
     use_sec = jnp.where(dom_y, adx > 0, ady > 0)
-    wsec = jnp.where(use_sec, frac, 0.0)
+    wsec = jnp.where(use_sec, minor / denom, 0.0)
 
     neginf = jnp.float32(-jnp.inf)
 
