@@ -366,12 +366,149 @@ def _viewshed_xdraw_impl(data, vp_row, vp_col, observer_elev, target_elev,
     return jnp.where(is_vp, 180.0, out)
 
 
+
+
+# ---------------------------------------------------------------------------
+# Octant-scan XDraw: same recurrence as _viewshed_xdraw_impl but scheduled
+# as four lax.scans over half-planes.  Each ring touches only its own
+# column/row vector instead of the whole raster: O(N) total work instead
+# of O(N * max_dim).  With the corrected interpolation weights the
+# diagonal rays depend only on previous diagonal cells, so the half-plane
+# scans are self-contained.
+# ---------------------------------------------------------------------------
+
+
+def _halfplane_scan(s_T, dy_vec, vp_minor, n_major):
+    """Scan an x-dominant half plane.
+
+    s_T: (W, H) slope values transposed so scan steps walk the major axis;
+    column j of the original array is s_T[j].  dy_vec: (H,) minor-axis
+    offsets (r - vp_row).  vp_minor: major-axis index of the viewpoint.
+    Returns (W, H) M values (max slope along ray, including own cell) for
+    cells with dx > 0 in scan direction; -inf elsewhere.
+    """
+    h = dy_vec.shape[0]
+    ady = jnp.abs(dy_vec)
+    sy = jnp.sign(dy_vec)
+    neginf = jnp.float32(-jnp.inf)
+
+    def step(m_prev, inp):
+        s_col, dxf = inp
+        mask = (ady <= dxf) & (dxf > 0)
+        prim = m_prev
+        # secondary: one row toward the vp axis
+        up = jnp.concatenate([jnp.full((1,), neginf), m_prev[:-1]])
+        down = jnp.concatenate([m_prev[1:], jnp.full((1,), neginf)])
+        sec = jnp.where(sy > 0, up, jnp.where(sy < 0, down, prim))
+        use_sec = ady > 0
+        wsec = jnp.where(use_sec, ady / jnp.maximum(dxf, 1.0), 0.0)
+        both = jnp.isfinite(prim) & jnp.isfinite(sec)
+        interp = jnp.where(both, prim * (1.0 - wsec) + sec * wsec,
+                           jnp.maximum(prim, sec))
+        blocked = jnp.where(dxf == 1.0, neginf, interp)
+        m_new = jnp.where(mask, jnp.maximum(blocked, s_col), neginf)
+        return m_new, m_new
+
+    n_steps = s_T.shape[0]
+    dxs = (jnp.arange(n_steps, dtype=jnp.float32)
+           - jnp.float32(vp_minor))
+    init = jnp.full((h,), neginf)
+    _, out = jax.lax.scan(step, init, (s_T, dxs))
+    return out
+
+
+@partial(jax.jit, static_argnames=("shape",))
+def _viewshed_xdraw_scan_impl(data, vp_row, vp_col, observer_elev,
+                              target_elev, ew_res, ns_res, shape):
+    h, w = shape
+    rows = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0).astype(jnp.float32)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1).astype(jnp.float32)
+    vp_r = vp_row.astype(jnp.float32)
+    vp_c = vp_col.astype(jnp.float32)
+    vp_elev = (data[vp_row, vp_col] + observer_elev).astype(jnp.float32)
+
+    dy = rows - vp_r
+    dx = cols - vp_c
+    ady = jnp.abs(dy)
+    adx = jnp.abs(dx)
+    wx = dx * ew_res
+    wy = dy * ns_res
+    dist_w = jnp.sqrt(wx * wx + wy * wy)
+    safe_d = jnp.maximum(dist_w, 1e-12)
+    slope_self = (data - vp_elev) / safe_d
+    slope_self = jnp.where(dist_w > 0, slope_self, -jnp.inf)
+    slope_tgt = jnp.where(
+        dist_w > 0,
+        (data + target_elev - vp_elev) / safe_d, jnp.inf)
+
+    dy_vec = (jnp.arange(h, dtype=jnp.float32) - vp_r)
+    dx_vec = (jnp.arange(w, dtype=jnp.float32) - vp_c)
+
+    s_T = jnp.swapaxes(slope_self, 0, 1)       # (W, H)
+    m_e = jnp.swapaxes(_halfplane_scan(s_T, dy_vec, vp_col, w), 0, 1)
+    m_w = jnp.swapaxes(
+        _halfplane_scan(s_T[::-1], dy_vec, w - 1 - vp_col, w), 0, 1)[:, ::-1]
+    m_s = _halfplane_scan(slope_self, dx_vec, vp_row, h)
+    m_n = _halfplane_scan(slope_self[::-1], dx_vec, h - 1 - vp_row,
+                          h)[::-1]
+
+    x_dom = adx >= ady
+    m = jnp.where(x_dom, jnp.where(dx >= 0, m_e, m_w),
+                  jnp.where(dy >= 0, m_s, m_n))
+
+    # inward max (excluding the cell itself): same interpolation as the
+    # ring version's final pass
+    sy = jnp.sign(dy)
+    sx = jnp.sign(dx)
+    dom_y = ady >= adx
+    p_dy = jnp.where(dom_y, -sy, 0.0)
+    p_dx = jnp.where(dom_y, 0.0, -sx)
+    s_dy = -sy
+    s_dx = -sx
+    denom = jnp.maximum(jnp.maximum(ady, adx), 1.0)
+    minor = jnp.minimum(ady, adx)
+    use_sec = jnp.where(dom_y, adx > 0, ady > 0)
+    wsec = jnp.where(use_sec, minor / denom, 0.0)
+    ring = jnp.maximum(ady, adx).astype(jnp.int32)
+    neginf = jnp.float32(-jnp.inf)
+
+    def shifted_for(offs_dy, offs_dx, arr):
+        out = jnp.full((h, w), neginf)
+        for ody in (-1, 0, 1):
+            for odx in (-1, 0, 1):
+                if ody == 0 and odx == 0:
+                    continue
+                sel = (offs_dy == ody) & (offs_dx == odx)
+                out = jnp.where(sel, _shift(arr, ody, odx, neginf), out)
+        return out
+
+    mp = shifted_for(p_dy, p_dx, m)
+    ms = shifted_for(s_dy, s_dx, m)
+    both = jnp.isfinite(mp) & jnp.isfinite(ms)
+    inward_max = jnp.where(both, mp * (1.0 - wsec) + ms * wsec,
+                           jnp.maximum(mp, ms))
+    inward_max = jnp.where(ring <= 1, neginf, inward_max)
+    visible = inward_max <= slope_tgt
+
+    diff = vp_elev - (data + target_elev)
+    vert = jnp.where(
+        diff == 0.0, 90.0,
+        jnp.where(diff > 0,
+                  jnp.arctan(safe_d / jnp.where(diff == 0, 1.0, diff))
+                  * 180.0 / PI,
+                  jnp.arctan(jnp.abs(diff) / safe_d) * 180.0 / PI + 90.0))
+    out = jnp.where(visible, vert, float(INVISIBLE))
+    out = jnp.where(jnp.isnan(data), float(INVISIBLE), out)
+    is_vp = (rows == vp_r) & (cols == vp_c)
+    return jnp.where(is_vp, 180.0, out)
+
+
 def viewshed_grid_los(data, vp_row: int, vp_col: int, observer_elev: float,
                       target_elev: float, ew_res: float, ns_res: float):
-    """Wavefront (XDraw) viewshed for large rasters (float32, shift-only)."""
+    """Wavefront (XDraw) viewshed for large rasters: four octant lax.scans
+    (O(N) work) producing the same recurrence as the ring version."""
     data = jnp.asarray(data, dtype=jnp.float32)
-    return _viewshed_xdraw_impl(data, jnp.int32(vp_row), jnp.int32(vp_col),
-                                jnp.float32(observer_elev),
-                                jnp.float32(target_elev),
-                                jnp.float32(ew_res), jnp.float32(ns_res),
-                                data.shape)
+    return _viewshed_xdraw_scan_impl(
+        data, jnp.int32(vp_row), jnp.int32(vp_col),
+        jnp.float32(observer_elev), jnp.float32(target_elev),
+        jnp.float32(ew_res), jnp.float32(ns_res), data.shape)
