@@ -41,7 +41,9 @@ def _bin_jit(data, bins, new_values):
     val > bins[-1] or non-finite -> NaN.  (reference classify.py:152-237)
     """
     data = data.astype(jnp.float32)
-    idx = jnp.searchsorted(bins.astype(jnp.float32), data, side="left")
+    # compare_all: gather-free bin search (bins tables are small)
+    idx = jnp.searchsorted(bins.astype(jnp.float32), data, side="left",
+                           method="compare_all")
     valid = jnp.isfinite(data) & (idx < bins.shape[0])
     gathered = new_values.astype(jnp.float32)[jnp.clip(idx, 0,
                                                        bins.shape[0] - 1)]
