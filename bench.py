@@ -162,8 +162,12 @@ def main():
                         dims=("y", "x"))
         nir = DataArray(jnp.abs(data[:8192, :8192]) / 800 + 0.2,
                         dims=("y", "x"))
-        t = timed(lambda: ndvi(nir, red).data, reps=8, burst=4)
-        print(f"# ndvi 8192^2: {t*1e3:.2f} ms "
+        # reduce to a scalar so bursts of 32 fit in HBM and the elapsed
+        # time dwarfs the subtracted sync roundtrip (ndvi alone is ~1 ms,
+        # below the tunnel's ~30 ms fetch latency); includes the sum's
+        # extra HBM read, so this is a lower bound on ndvi throughput
+        t = timed(lambda: jnp.sum(ndvi(nir, red).data), reps=64, burst=32)
+        print(f"# ndvi 8192^2 (+sum): {t*1e3:.2f} ms "
               f"({8192*8192/1e6/t:.0f} Mpix/s)", file=sys.stderr)
 
         t = timed(lambda: quantile(agg2, k=5).data, reps=3, burst=1)
