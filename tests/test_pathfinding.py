@@ -89,3 +89,31 @@ def test_validation(surface):
                       connectivity=6)
     with pytest.raises(ValueError):
         a_star_search(surface, (99, 99), (1, 1), x="lon", y="lat")
+
+
+def test_native_astar_matches_python():
+    # native C++ A* and the python heapq fallback must be bit-identical
+    # (same tie-breaking, same re-parenting, same costs)
+    import xrspatial_tpu.pathfinding as P
+    from xrspatial_tpu.native import get_astar
+    if get_astar() is None:
+        import pytest
+        pytest.skip("native toolchain unavailable")
+    rng = np.random.default_rng(7)
+    for conn in (4, 8):
+        for trial in range(4):
+            h, w = 37, 53
+            blocked = rng.random((h, w)) < 0.3
+            blocked[0, 0] = False
+            blocked[h - 1, w - 1] = False
+            start, goal = (0, 0), (h - 1, w - 1)
+            nat = P._astar_native(blocked, start, goal, conn)
+            py = P._astar(blocked, start, goal, P._neighborhood(conn))
+            assert (nat[0] is None) == (py[0] is None)
+            if nat[0] is not None:
+                assert nat[0] == py[0]
+                d_n, d_p = nat[1], py[1]
+                cells = np.array(nat[0])
+                np.testing.assert_array_equal(
+                    d_n[cells[:, 0], cells[:, 1]],
+                    d_p[cells[:, 0], cells[:, 1]])

@@ -152,7 +152,9 @@ def test_los_matches_pairwise():
     vis_exact = exact > -1
     vis_los = los > -1
     agree = (vis_exact == vis_los).mean()
-    assert agree > 0.97, agree
+    # XDraw's interpolated-gradient wavefront agrees with the exact
+    # pairwise predicate on ~99% of cells (0.9899 on this terrain)
+    assert agree > 0.985, agree
     # vertical angles of commonly-visible cells match
     both = vis_exact & vis_los
     np.testing.assert_allclose(exact[both], los[both], rtol=1e-4, atol=1e-3)

@@ -71,6 +71,32 @@ def _neighborhood(connectivity):
     return [(0, -1), (-1, 0), (1, 0), (0, 1)]
 
 
+def _astar_native(blocked, start, goal, connectivity):
+    """C++ A* (native/astar.cpp); returns (path, d_from_start) or None
+    if the native library is unavailable.  Bit-identical to `_astar`."""
+    import ctypes
+
+    from .native import get_astar
+    fn = get_astar()
+    if fn is None:
+        return None
+    h, w = blocked.shape
+    blocked_u8 = np.ascontiguousarray(blocked, dtype=np.uint8)
+    d_from_start = np.full((h, w), np.inf, dtype=np.float64)
+    path_buf = np.empty((h * w, 2), dtype=np.int64)
+    path_len = ctypes.c_int64(0)
+    status = fn(
+        blocked_u8.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        h, w, start[0], start[1], goal[0], goal[1], connectivity,
+        d_from_start.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        path_buf.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        ctypes.byref(path_len))
+    if status != 0:
+        return (None, d_from_start)
+    path = [tuple(p) for p in path_buf[:path_len.value]]
+    return (path, d_from_start)
+
+
 def _astar(blocked, start, goal, neighbors):
     h, w = blocked.shape
     start_py, start_px = start
@@ -176,9 +202,12 @@ def a_star_search(surface: DataArray,
 
     path_img = np.full((h, w), np.nan, dtype=np.float64)
     if start_py != NONE and goal_py != NONE:
-        path, d_from_start = _astar(
-            blocked, (start_py, start_px), (goal_py, goal_px),
-            _neighborhood(connectivity))
+        res = _astar_native(blocked, (start_py, start_px),
+                            (goal_py, goal_px), connectivity)
+        if res is None:  # no native toolchain -> python heapq fallback
+            res = _astar(blocked, (start_py, start_px), (goal_py, goal_px),
+                         _neighborhood(connectivity))
+        path, d_from_start = res
         if path is not None:
             for (cy, cx) in path:
                 path_img[cy, cx] = d_from_start[cy, cx]
