@@ -101,11 +101,13 @@ def main():
                     attrs={"res": (1.0, 1.0)})
     mpix = (N * N) / 1e6
 
-    # each op reduces its output to a scalar (jitted: no eager temp copy)
-    # so queued reps don't hold multi-GB output buffers; adds one output
-    # read per op (slightly conservative).  NaN sums are fine — the scalar
+    # each op reduces its output's first row to a scalar (jitted) so
+    # queued reps don't hold multi-GB output buffers.  The row sum is a
+    # separate jit consuming the materialized output, so the full op
+    # still runs; unlike a full-output sum it doesn't add a whole extra
+    # HBM read (~3 ms/GB) to every leg.  NaN sums are fine — the scalar
     # is only a completion barrier.
-    reduce = jax.jit(jnp.sum)
+    reduce = jax.jit(lambda a: jnp.sum(a[..., 0, :]))
     ops = {}
     ops["slope"] = lambda: reduce(slope(agg).data)
     ops["hillshade"] = lambda: reduce(hillshade(agg).data)
