@@ -173,3 +173,47 @@ def test_sharded_regions():
     agg.data = distribute(agg.data, mesh)
     out = np.asarray(regions(agg).data)
     np.testing.assert_array_equal(out, ref)
+
+
+def test_sharded_focal_stats(raster):
+    from xrspatial_tpu.convolution import circle_kernel
+    from xrspatial_tpu.focal import focal_stats
+    mesh = make_raster_mesh(2, 2)
+    kernel = circle_kernel(1, 1, 1.5)
+    agg = create_test_raster(raster)
+    ref = np.asarray(focal_stats(agg, kernel).data)
+    sharded = create_test_raster(raster)
+    sharded.data = distribute(sharded.data, mesh)
+    out = np.asarray(focal_stats(sharded, kernel).data)
+    np.testing.assert_allclose(out, ref, equal_nan=True, rtol=1e-5,
+                               atol=1e-6)
+
+
+def test_sharded_multispectral_elementwise():
+    # elementwise indices run under GSPMD with no halo machinery
+    from xrspatial_tpu.multispectral import ndvi
+    mesh = make_raster_mesh(2, 2)
+    rng = np.random.default_rng(5)
+    nir_d = rng.random((8, 8)).astype(np.float32)
+    red_d = rng.random((8, 8)).astype(np.float32)
+    nir = create_test_raster(nir_d, name="nir")
+    red = create_test_raster(red_d, name="red")
+    ref = np.asarray(ndvi(nir, red).data)
+    nir.data = distribute(nir.data, mesh)
+    red.data = distribute(red.data, mesh)
+    out = np.asarray(ndvi(nir, red).data)
+    np.testing.assert_allclose(out, ref, equal_nan=True, rtol=1e-6)
+
+
+def test_sharded_classify_quantile():
+    # global percentile reductions over a sharded raster (GSPMD collectives)
+    from xrspatial_tpu.classify import quantile
+    mesh = make_raster_mesh(2, 2)
+    rng = np.random.default_rng(6)
+    data = (rng.random((16, 16)) * 100).astype(np.float32)
+    agg = create_test_raster(data)
+    ref = np.asarray(quantile(agg, k=4).data)
+    agg2 = create_test_raster(data)
+    agg2.data = distribute(agg2.data, mesh)
+    out = np.asarray(quantile(agg2, k=4).data)
+    np.testing.assert_allclose(out, ref, equal_nan=True)

@@ -243,3 +243,55 @@ def test_suggest_zonal_canvas():
     assert h == w  # full square extent
     assert h * w >= (40e6 * 40e6) / (8e9 / 20) * 0.9
     assert get_full_extent("Geographic") == ((-180, 180), (-90, 90))
+
+
+def test_majority_with_ties():
+    # ties return the smallest tied value (reference test_zonal.py:567-590)
+    zones_np = np.array([[1, 1, 1, 1],
+                         [1, 1, 2, 2],
+                         [2, 2, 2, 2]], dtype=np.int64)
+    values_np = np.array([[1, 1, 2, 2],
+                          [3, 3, 5, 5],
+                          [5, 5, 6, 6]], dtype=np.float64)
+    zones = DataArray(zones_np, dims=("y", "x"))
+    values = DataArray(values_np, dims=("y", "x"))
+    df = stats(zones=zones, values=values, stats_funcs=['majority'])
+    assert list(df['zone']) == [1, 2]
+    assert list(df['majority']) == [1, 5]
+
+
+def test_stats_inputs_unmodified():
+    # stats() must not mutate its inputs (reference
+    # test_zonal.py::test_zonal_stats_inputs_unmodified)
+    zones_np = np.array([[1, 1, 2], [2, 2, 2]], dtype=np.int64)
+    values_np = np.array([[1.0, np.nan, 3.0], [4.0, 5.0, 6.0]])
+    zones = DataArray(zones_np.copy(), dims=("y", "x"))
+    values = DataArray(values_np.copy(), dims=("y", "x"))
+    stats(zones=zones, values=values)
+    np.testing.assert_array_equal(np.asarray(zones.data), zones_np)
+    np.testing.assert_array_equal(np.asarray(values.data), values_np)
+
+
+def test_trim_all_corners():
+    # trimmable margins on every side (reference trim corner tests)
+    arr = np.zeros((6, 6), dtype=np.int64)
+    arr[1:5, 2:5] = np.array([[4, 0, 3],
+                              [4, 4, 3],
+                              [1, 1, 3],
+                              [1, 1, 3]])
+    raster = DataArray(arr, dims=("y", "x"))
+    trimmed = trim(raster, values=(0,))
+    assert trimmed.shape == (4, 3)
+    np.testing.assert_array_equal(np.asarray(trimmed.data), arr[1:5, 2:5])
+
+
+def test_crop_nothing_to_crop():
+    arr = np.array([[0, 4, 0, 3],
+                    [0, 4, 4, 3],
+                    [0, 1, 1, 3],
+                    [0, 1, 1, 3],
+                    [0, 0, 0, 0]], dtype=np.int64)
+    raster = DataArray(arr, dims=("y", "x"))
+    result = crop(raster, raster, zones_ids=(0,))
+    assert result.shape == arr.shape
+    np.testing.assert_array_equal(np.asarray(result.data), arr)
