@@ -49,6 +49,34 @@ def metric_distance(x1, x2, y1, y2, metric: int):
     return jnp.sqrt(dx * dx + dy * dy).astype(jnp.float32)
 
 
+def _metric_key(x1, x2, y1, y2, metric: int):
+    """Monotone comparison key for `metric_distance` — skips the sqrt /
+    arcsin per JFA neighbor candidate; `_metric_finalize` converts the
+    winning key to the true distance once at the end."""
+    if metric == GREAT_CIRCLE:
+        lat1, lon1 = jnp.radians(y1), jnp.radians(x1)
+        lat2, lon2 = jnp.radians(y2), jnp.radians(x2)
+        a = (jnp.sin((lat2 - lat1) / 2.0) ** 2
+             + jnp.cos(lat1) * jnp.cos(lat2)
+             * jnp.sin((lon2 - lon1) / 2.0) ** 2)
+        same = (x1 == x2) & (y1 == y2)
+        return jnp.where(same, 0.0, a).astype(jnp.float32)
+    if metric == MANHATTAN:
+        return (jnp.abs(x1 - x2) + jnp.abs(y1 - y2)).astype(jnp.float32)
+    dx = x1 - x2
+    dy = y1 - y2
+    return (dx * dx + dy * dy).astype(jnp.float32)
+
+
+def _metric_finalize(key, metric: int):
+    if metric == GREAT_CIRCLE:
+        return (6378137.0 * 2.0
+                * jnp.arcsin(jnp.sqrt(key))).astype(jnp.float32)
+    if metric == MANHATTAN:
+        return key
+    return jnp.sqrt(key)
+
+
 def _shift_simple(arr, dy, dx, fill):
     """Shift so out[i,j] = arr[i+dy, j+dx]; out-of-bounds -> fill."""
     h, w = arr.shape
@@ -58,7 +86,7 @@ def _shift_simple(arr, dy, dx, fill):
     return p[py0 + dy:py0 + dy + h, px0 + dx:px0 + dx + w]
 
 
-@partial(jax.jit, static_argnames=("metric", "shape"))
+@partial(jax.jit, static_argnames=("strides", "metric", "shape"))
 def _jfa_rounds(tx_w, ty_w, tval, xs, ys, strides, metric, shape):
     """Jump-flood rounds over carried target *coordinates* (and value).
 
@@ -76,33 +104,57 @@ def _jfa_rounds(tx_w, ty_w, tval, xs, ys, strides, metric, shape):
     inf = jnp.float32(jnp.inf)
 
     def cand_dist(ctx, cty):
-        d = metric_distance(px, ctx, py, cty, metric)
+        d = _metric_key(px, ctx, py, cty, metric)
         return jnp.where(jnp.isfinite(ctx), d, inf)
 
-    def one_round(state, k):
-        tx_w, ty_w, tval, best = state
-        for sy in (-1, 0, 1):
-            for sx in (-1, 0, 1):
-                if sy == 0 and sx == 0:
-                    continue
-                dy, dx = sy * k, sx * k
-                # out[i,j] = arr[i+dy, j+dx] -> roll by (-dy, -dx)
-                ntx = jnp.roll(tx_w, (-dy, -dx), (0, 1))
-                nty = jnp.roll(ty_w, (-dy, -dx), (0, 1))
-                nv = jnp.roll(tval, (-dy, -dx), (0, 1))
-                valid = ((rows + dy >= 0) & (rows + dy < h)
-                         & (cols + dx >= 0) & (cols + dx < w))
-                nd = jnp.where(valid, cand_dist(ntx, nty), inf)
-                better = nd < best
-                tx_w = jnp.where(better, ntx, tx_w)
-                ty_w = jnp.where(better, nty, ty_w)
-                tval = jnp.where(better, nv, tval)
-                best = jnp.where(better, nd, best)
-        return (tx_w, ty_w, tval, best), None
+    def round_body(k: int):
+        # one JFA round at a STATIC stride: every neighbor read is a
+        # static jnp.roll (two contiguous slices XLA fuses into the
+        # consumers), vs a dynamic roll's concat + dynamic-slice copies.
+        # The three target channels ride stacked as (3, h, w) so the
+        # eight neighbors share separable 1-axis rolls (3 row variants,
+        # then column rolls per variant).
+        def f(state):
+            S, best = state
+            # out[i, j] = arr[i + sy*k, j + sx*k] -> roll -sy*k / -sx*k
+            rowvar = {-1: jnp.roll(S, k, axis=1), 0: S,
+                      1: jnp.roll(S, -k, axis=1)}
+            for sy in (-1, 0, 1):
+                for sx in (-1, 0, 1):
+                    if sy == 0 and sx == 0:
+                        continue
+                    dy, dx = sy * k, sx * k
+                    N = rowvar[sy] if sx == 0 else jnp.roll(
+                        rowvar[sy], -dx, axis=2)
+                    valid = ((rows + dy >= 0) & (rows + dy < h)
+                             & (cols + dx >= 0) & (cols + dx < w))
+                    nd = jnp.where(valid, cand_dist(N[0], N[1]), inf)
+                    better = nd < best
+                    S = jnp.where(better[None], N, S)
+                    best = jnp.where(better, nd, best)
+            return (S, best)
+        return f
+
+    # strides are a static schedule of powers of two: scan over a branch
+    # SELECTOR and lax.switch into per-stride bodies, keeping strides
+    # static inside the graph while the scan keeps the graph small
+    # (13 branches for 16k, not an unrolled 13-round program)
+    ks = [int(k) for k in strides]
+    uniq = sorted(set(ks))
+    branches = [round_body(k) for k in uniq]
+    sel = jnp.asarray([uniq.index(k) for k in ks], jnp.int32)
+
+    def one_round(state, s):
+        return jax.lax.switch(s, branches, state), None
 
     best = cand_dist(tx_w, ty_w)
-    state, _ = jax.lax.scan(one_round, (tx_w, ty_w, tval, best), strides)
-    return state
+    # proximity/direction never read target values; dropping the channel
+    # cuts the carried roll traffic by a third
+    S0 = (jnp.stack([tx_w, ty_w, tval]) if tval is not None
+          else jnp.stack([tx_w, ty_w]))
+    (S, best), _ = jax.lax.scan(one_round, (S0, best), sel)
+    tval_out = S[2] if tval is not None else None
+    return S[0], S[1], tval_out, _metric_finalize(best, metric)
 
 
 def _stride_schedule(max_dim: int) -> np.ndarray:
@@ -135,9 +187,10 @@ def jump_flood(target_mask, xs, ys, metric: int, values=None):
     tx_w = jnp.where(target_mask, px, inf)
     ty_w = jnp.where(target_mask, py, inf)
     if values is None:
-        values = jnp.zeros((h, w), jnp.float32)
-    tval = jnp.where(target_mask, values.astype(jnp.float32), 0.0)
-    strides = jnp.asarray(_stride_schedule(max(h, w)))
+        tval = None
+    else:
+        tval = jnp.where(target_mask, values.astype(jnp.float32), 0.0)
+    strides = tuple(int(k) for k in _stride_schedule(max(h, w)))
     tx_w, ty_w, tval, dist = _jfa_rounds(tx_w, ty_w, tval, xs, ys, strides,
                                          metric, (h, w))
     return dist, tx_w, ty_w, tval

@@ -107,7 +107,10 @@ def _process(raster, x, y, target_values, max_distance, distance_metric,
     img = jnp.asarray(raster.data)
 
     mask = _target_mask(img, target_values)
-    dist, t_x, t_y, t_val = jump_flood(mask, xs, ys, metric, values=img)
+    # only allocation consumes target values; omitting them drops a whole
+    # carried channel from the JFA rounds
+    dist, t_x, t_y, t_val = jump_flood(
+        mask, xs, ys, metric, values=img if mode == ALLOCATION else None)
 
     reachable = jnp.isfinite(t_x) & (dist <= max_distance)
     if mode == PROXIMITY:
