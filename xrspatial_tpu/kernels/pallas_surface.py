@@ -190,6 +190,10 @@ def surface_pallas(data, cellsize_x, cellsize_y, azimuth, angle_altitude,
                   pl.BlockSpec(memory_space=pltpu.ANY)],
         out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
         out_shape=jax.ShapeDtypeStruct((k, hp, wp), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=max(
+                16 * 1024 * 1024,
+                3 * (2 * sh * sw + 2 * k * th * tw) * 4)),
         interpret=interpret,
     )(scalar(cellsize_x), scalar(cellsize_y), scalar(azimuth),
       scalar(angle_altitude), padded)

@@ -149,6 +149,12 @@ def focal_stats_pallas(data, offsets, stats, interpret=False):
             flops=flops_px * hp * wp,
             bytes_accessed=(hp * wp * 4) * (1 + n_stats),
             transcendentals=0),
+        # double-buffered in-window + n_stats out tiles overflow the
+        # 16 MB default scoped-VMEM limit for >=6 stats; size it to fit
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=max(
+                16 * 1024 * 1024,
+                3 * (2 * sh * sw + 2 * n_stats * th * tw) * 4)),
         interpret=interpret,
     )(padded)
     return out[:, :h, :w]
