@@ -62,16 +62,17 @@ def viewshed(raster: DataArray,
     ew_res = (x_coords[-1] - x_coords[0]) / (width - 1)
     ns_res = (y_coords[-1] - y_coords[0]) / (height - 1)
 
+    # keep the raster on device: np.asarray here would round-trip the
+    # whole array through the host (a 64 MB fetch costs ~1 s through the
+    # device tunnel; the kernels jnp.asarray their input themselves)
     if height * width <= _EXACT_MAX_CELLS:
         with x64():
-            out = viewshed_grid(np.asarray(raster.data, dtype=np.float64),
-                                y_view, x_view, observer_elev, target_elev,
-                                ew_res, ns_res)
+            out = viewshed_grid(raster.data, y_view, x_view, observer_elev,
+                                target_elev, ew_res, ns_res)
     else:
         # large rasters: O(N * max_dim) batched line-of-sight (float32);
         # geometrically equivalent, may differ from the sweep at near-tie
         # cells (see kernels/viewshed.py)
-        out = viewshed_grid_los(np.asarray(raster.data, dtype=np.float32),
-                                y_view, x_view, observer_elev, target_elev,
-                                ew_res, ns_res)
+        out = viewshed_grid_los(raster.data, y_view, x_view, observer_elev,
+                                target_elev, ew_res, ns_res)
     return wrap_like(raster, out, raster.name)
