@@ -175,7 +175,9 @@ def main():
         t = timed(lambda: quantile(agg2, k=5).data, reps=3, burst=1)
         print(f"# quantile 4096^2: {t*1e3:.1f} ms", file=sys.stderr)
 
-        zones = DataArray((np.asarray(dem2) // 100).astype(np.int64),
+        # device-resident zones, like every other leg (the dense matmul
+        # path then runs fully on device: no host unique round trip)
+        zones = DataArray(jnp.floor_divide(dem2, 100.0).astype(jnp.int32),
                           dims=("y", "x"))
         t = timed(lambda: zonal_stats(
             zones=zones, values=agg2,

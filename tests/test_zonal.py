@@ -295,3 +295,60 @@ def test_crop_nothing_to_crop():
     result = crop(raster, raster, zones_ids=(0,))
     assert result.shape == arr.shape
     np.testing.assert_array_equal(np.asarray(result.data), arr)
+
+
+def test_dense_device_path_matches_host(monkeypatch):
+    # force the non-sorted branch so the dense device path runs on CPU
+    import jax.numpy as jnp
+    monkeypatch.setenv("XRSPATIAL_SORTED_SEGMENTS", "0")
+    zones_np = np.array([[5, 5, 7], [7, 7, 9], [9, 9, 9]], dtype=np.int64)
+    values_np = np.array([[1.0, np.nan, 3.0],
+                          [4.0, 5.0, 6.0],
+                          [7.0, 8.0, 9.0]])
+    zones = DataArray(jnp.asarray(zones_np), dims=("y", "x"))
+    values = DataArray(jnp.asarray(values_np), dims=("y", "x"))
+    from xrspatial_tpu.zonal import _dense_zone_range
+    assert _dense_zone_range(zones.data) == (5, 5)
+    df = stats(zones=zones, values=values,
+               stats_funcs=["mean", "max", "min", "sum", "std", "var",
+                            "count"])
+    monkeypatch.delenv("XRSPATIAL_SORTED_SEGMENTS")
+    ref = stats(zones=DataArray(zones_np, dims=("y", "x")),
+                values=DataArray(values_np, dims=("y", "x")),
+                stats_funcs=["mean", "max", "min", "sum", "std", "var",
+                             "count"])
+    np.testing.assert_array_equal(df["zone"], ref["zone"])
+    for c in ["mean", "max", "min", "sum", "std", "var", "count"]:
+        np.testing.assert_allclose(df[c], ref[c], rtol=1e-6, atol=1e-6)
+
+
+def test_dense_path_keeps_all_nan_zone(monkeypatch):
+    # a zone present in the raster whose values are all NaN must still
+    # appear (with NaN statistics), exactly like the host path
+    import jax.numpy as jnp
+    monkeypatch.setenv("XRSPATIAL_SORTED_SEGMENTS", "0")
+    zones_np = np.array([[1, 1, 2], [2, 3, 3]], dtype=np.int32)
+    values_np = np.array([[1.0, 2.0, np.nan],
+                          [np.nan, 5.0, 6.0]])
+    zones = DataArray(jnp.asarray(zones_np), dims=("y", "x"))
+    values = DataArray(jnp.asarray(values_np), dims=("y", "x"))
+    df = stats(zones=zones, values=values, stats_funcs=["mean", "count"])
+    assert list(df["zone"]) == [1, 2, 3]
+    assert np.isnan(df["mean"].iloc[1])
+    assert np.isnan(df["count"].iloc[1])
+
+
+def test_dense_path_dataarray_return(monkeypatch):
+    import jax.numpy as jnp
+    monkeypatch.setenv("XRSPATIAL_SORTED_SEGMENTS", "0")
+    zones_np = np.array([[1, 1, 2], [2, 2, 2]], dtype=np.int32)
+    values_np = np.array([[1.0, 3.0, 2.0], [4.0, 6.0, 8.0]])
+    zones = create_test_raster(zones_np, name="zones")
+    values = create_test_raster(values_np, name="values")
+    zones.data = jnp.asarray(zones.data)
+    values.data = jnp.asarray(values.data)
+    out = stats(zones=zones, values=values, stats_funcs=["mean"],
+                return_type='xarray.DataArray')
+    got = np.asarray(out.data)[0]
+    expect = np.where(zones_np == 1, 2.0, 5.0)
+    np.testing.assert_allclose(got, expect)

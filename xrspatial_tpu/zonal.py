@@ -209,6 +209,85 @@ def _segment_stats_matmul(values, seg_ids, num_segments, nodata, has_nodata,
 _MATMUL_MAX_ZONES = 4096
 
 
+@partial(jax.jit, static_argnames=("nz", "has_nodata"))
+def _dense_stats_presence(values, zones, zmin, nz, nodata, has_nodata,
+                          chunk=65536):
+    """Matmul segment stats over the DENSE integer zone range
+    [zmin, zmin+nz), plus a per-bin pixel-presence histogram.
+
+    Lets device-resident integer zones skip the host round trip entirely
+    (no np.unique of the raster, no separate segment-id pass): bins are
+    z - zmin; empty bins are filtered afterwards from the tiny per-bin
+    fetch.  Presence counts ALL pixels of a zone (a zone whose values are
+    all NaN still exists with NaN statistics, matching the host path).
+    """
+    v = values.ravel().astype(jnp.float32)
+    z = zones.ravel().astype(jnp.int32) - zmin
+    valid = jnp.isfinite(v)
+    if has_nodata:
+        valid = valid & (v != nodata)
+    segv = jnp.where(valid, z, nz)
+    vz = jnp.where(valid, v, 0.0)
+
+    n = v.shape[0]
+    n_chunks = -(-n // chunk)
+    npad = n_chunks * chunk
+    vs = jnp.pad(vz, (0, npad - n)).reshape(n_chunks, chunk)
+    ss = jnp.pad(segv, (0, npad - n),
+                 constant_values=nz).reshape(n_chunks, chunk)
+    zs = jnp.pad(z, (0, npad - n),
+                 constant_values=nz).reshape(n_chunks, chunk)
+    iota = jnp.arange(nz, dtype=jnp.int32)
+
+    def step(carry, inp):
+        ssum, cnt, ssq, smin, smax, pres = carry
+        vc, sc, zc = inp
+        oh = (sc[:, None] == iota[None, :]).astype(jnp.float32)
+        ohp = (zc[:, None] == iota[None, :]).astype(jnp.float32)
+        ssum = ssum + jnp.dot(vc, oh, preferred_element_type=jnp.float32)
+        cnt = cnt + jnp.sum(oh, axis=0)
+        pres = pres + jnp.sum(ohp, axis=0)
+        ssq = ssq + jnp.dot(vc * vc, oh,
+                            preferred_element_type=jnp.float32)
+        smin = jnp.minimum(smin, jnp.min(
+            jnp.where(oh > 0, vc[:, None], jnp.inf), axis=0))
+        smax = jnp.maximum(smax, jnp.max(
+            jnp.where(oh > 0, vc[:, None], -jnp.inf), axis=0))
+        return (ssum, cnt, ssq, smin, smax, pres), None
+
+    init = (jnp.zeros(nz, jnp.float32), jnp.zeros(nz, jnp.float32),
+            jnp.zeros(nz, jnp.float32),
+            jnp.full(nz, jnp.inf, jnp.float32),
+            jnp.full(nz, -jnp.inf, jnp.float32),
+            jnp.zeros(nz, jnp.float32))
+    (ssum, cnt, ssq, smin, smax, pres), _ = jax.lax.scan(
+        step, init, (vs, ss, zs))
+    return ssum, cnt, ssq, smin, smax, pres
+
+
+@jax.jit
+def _int_min_max(z):
+    return jnp.min(z), jnp.max(z)
+
+
+def _dense_zone_range(zdata):
+    """(zmin, nz) for the dense device path, or None if unsuitable:
+    requires a device-resident integer zones array whose value range fits
+    the matmul gate."""
+    if _use_sorted_segments():
+        return None  # CPU: host unique is cheap, sorted path preferred
+    if not isinstance(zdata, jax.Array) or isinstance(zdata, np.ndarray):
+        return None
+    if not jnp.issubdtype(zdata.dtype, jnp.integer) or zdata.size == 0:
+        return None
+    mn, mx = _int_min_max(zdata)
+    zmin, zmax = int(mn), int(mx)
+    nz = zmax - zmin + 1
+    if not 0 < nz <= _MATMUL_MAX_ZONES:
+        return None
+    return zmin, nz
+
+
 def _use_sorted_segments() -> bool:
     import os
     forced = os.environ.get("XRSPATIAL_SORTED_SEGMENTS")
@@ -349,28 +428,43 @@ def stats(
     else:
         raise ValueError("stats_funcs must be a list or dict")
 
-    zones_np = np.asarray(zones.data)
+    has_nodata = nodata_values is not None
+    nodata = jnp.float32(nodata_values if has_nodata else 0.0)
+    needs_host_zones = bool(custom_funcs) or "majority" in stat_names
+    dense = None if needs_host_zones else _dense_zone_range(zones.data)
+    zones_np = None
     values_np = None  # materialized lazily for host paths
-    unique_zones = _unique_zones_host(zones_np)
+
+    if dense is not None:
+        # device-resident integer zones: dense matmul bins, no host
+        # round trip of the raster and no separate unique/segment-id pass
+        zmin, nz_dense = dense
+        *raw, presence = _dense_stats_presence(
+            jnp.asarray(values.data), zones.data, zmin, nz_dense,
+            nodata, has_nodata)
+        present = np.asarray(presence) > 0
+        unique_zones = zmin + np.nonzero(present)[0]
+        raw = tuple(np.asarray(r)[present] for r in raw)
+        seg_ids = None  # derived lazily for the DataArray return path
+    else:
+        zones_np = np.asarray(zones.data)
+        unique_zones = _unique_zones_host(zones_np)
+        uz = jnp.asarray(unique_zones)
+        seg_ids = _segment_ids(jnp.asarray(zones.data), uz)
+        if _use_sorted_segments():
+            from .utils import x64
+            with x64():  # float64 prefix sums inside the sorted variant
+                raw = _segment_stats(jnp.asarray(values.data), seg_ids,
+                                     len(unique_zones), nodata, has_nodata)
+        else:
+            raw = _segment_stats(jnp.asarray(values.data), seg_ids,
+                                 len(unique_zones), nodata, has_nodata)
+
     if zone_ids is None:
         sel_zones = unique_zones
     else:
         sel = np.unique(zone_ids)
         sel_zones = np.array([z for z in sel if z in unique_zones])
-
-    uz = jnp.asarray(unique_zones)
-    seg_ids = _segment_ids(jnp.asarray(zones.data), uz)
-
-    has_nodata = nodata_values is not None
-    nodata = jnp.float32(nodata_values if has_nodata else 0.0)
-    if _use_sorted_segments():
-        from .utils import x64
-        with x64():  # float64 block-prefix sums inside the sorted variant
-            raw = _segment_stats(jnp.asarray(values.data), seg_ids,
-                                 len(unique_zones), nodata, has_nodata)
-    else:
-        raw = _segment_stats(jnp.asarray(values.data), seg_ids,
-                             len(unique_zones), nodata, has_nodata)
     derived = _derived_stats(*raw)
 
     per_zone: Dict[str, np.ndarray] = {}
@@ -392,6 +486,9 @@ def stats(
 
     sel_mask = np.isin(unique_zones, sel_zones)
     if return_type == 'xarray.DataArray':
+        if seg_ids is None:  # dense path skipped the segment-id pass
+            seg_ids = _segment_ids(jnp.asarray(zones.data),
+                                   jnp.asarray(unique_zones))
         # broadcast each zone's statistic back to its pixels (device gather)
         tables = []
         for s in stat_names:
