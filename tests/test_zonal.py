@@ -352,3 +352,19 @@ def test_dense_path_dataarray_return(monkeypatch):
     got = np.asarray(out.data)[0]
     expect = np.where(zones_np == 1, 2.0, 5.0)
     np.testing.assert_allclose(got, expect)
+
+
+def test_crosstab_dense_device_matches_host(monkeypatch):
+    import jax.numpy as jnp
+    monkeypatch.setenv("XRSPATIAL_SORTED_SEGMENTS", "0")
+    zones_np = np.array([[1, 1, 2], [2, 2, 3]], dtype=np.int32)
+    values_np = np.array([[10, 10, 20], [30, 20, 20]], dtype=np.int32)
+    zd = DataArray(jnp.asarray(zones_np), dims=("y", "x"))
+    vd = DataArray(jnp.asarray(values_np), dims=("y", "x"))
+    df = crosstab(zones=zd, values=vd)
+    monkeypatch.delenv("XRSPATIAL_SORTED_SEGMENTS")
+    ref = crosstab(zones=DataArray(zones_np, dims=("y", "x")),
+                   values=DataArray(values_np, dims=("y", "x")))
+    assert list(df.columns) == list(ref.columns)
+    for c in df.columns:
+        np.testing.assert_allclose(df[c], ref[c])

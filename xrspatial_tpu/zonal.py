@@ -270,6 +270,53 @@ def _int_min_max(z):
     return jnp.min(z), jnp.max(z)
 
 
+@partial(jax.jit, static_argnames=("nz",))
+def _presence_only(zones, zmin, nz, chunk=262144):
+    """Per-bin pixel counts over the dense integer range [zmin, zmin+nz)."""
+    z = zones.ravel().astype(jnp.int32) - zmin
+    n = z.shape[0]
+    n_chunks = -(-n // chunk)
+    npad = n_chunks * chunk
+    zs = jnp.pad(z, (0, npad - n), constant_values=nz).reshape(n_chunks,
+                                                               chunk)
+    iota = jnp.arange(nz, dtype=jnp.int32)
+
+    def step(pres, zc):
+        oh = (zc[:, None] == iota[None, :]).astype(jnp.float32)
+        return pres + jnp.sum(oh, axis=0), None
+
+    pres, _ = jax.lax.scan(step, jnp.zeros(nz, jnp.float32), zs)
+    return pres
+
+
+@jax.jit
+def _dense_to_compact(zones, zmin, comp_table):
+    """Compact segment ids from dense integer zones via a small-table
+    lookup (bins absent from the raster never occur, so no miss check)."""
+    idx = jnp.clip(zones.ravel().astype(jnp.int32) - zmin, 0,
+                   comp_table.shape[0] - 1)
+    return comp_table[idx]
+
+
+def _unique_and_seg_ids(zdata):
+    """(unique_zones host array, compact seg_ids device array), using the
+    dense device path for device-resident integer zones (no full-raster
+    host fetch) and the host np.unique path otherwise."""
+    dense = _dense_zone_range(zdata)
+    if dense is not None:
+        zmin, nz = dense
+        present = np.asarray(_presence_only(zdata, zmin, nz)) > 0
+        unique = (zmin + np.nonzero(present)[0]).astype(
+            np.dtype(zdata.dtype))
+        comp = np.cumsum(present) - 1
+        comp_t = jnp.asarray(
+            np.where(present, comp, len(unique)).astype(np.int32))
+        return unique, _dense_to_compact(zdata, zmin, comp_t)
+    zones_np = np.asarray(zdata)
+    unique = _unique_zones_host(zones_np)
+    return unique, _segment_ids(jnp.asarray(zdata), jnp.asarray(unique))
+
+
 def _dense_zone_range(zdata):
     """(zmin, nz) for the dense device path, or None if unsuitable:
     requires a device-resident integer zones array whose value range fits
@@ -565,15 +612,12 @@ def crosstab(
     else:
         raise ValueError("`values` must be 2D or 3D")
 
-    zones_np = np.asarray(zones.data)
-    unique_zones = _unique_zones_host(zones_np)
+    unique_zones, seg_ids = _unique_and_seg_ids(zones.data)
     if zone_ids is None:
         sel_zones = unique_zones
     else:
         sel_zones = np.array([z for z in np.unique(zone_ids)
                               if z in unique_zones])
-    uz = jnp.asarray(unique_zones)
-    seg_ids = _segment_ids(jnp.asarray(zones.data), uz)
     nz = len(unique_zones)
     has_nodata = nodata_values is not None
     nodata = jnp.float32(nodata_values if has_nodata else 0.0)
@@ -619,11 +663,21 @@ def crosstab(
         return pd.DataFrame(result)
 
     # 2D case
-    values_np_flat = np.asarray(values.data).ravel()
-    finite = np.isfinite(values_np_flat)
-    if has_nodata:
-        finite &= (values_np_flat != nodata_values)
-    unique_cats = np.unique(values_np_flat[finite])
+    dense_v = _dense_zone_range(values.data)
+    if dense_v is not None:
+        vmin, nv = dense_v
+        vpres = np.asarray(_presence_only(values.data, vmin, nv)) > 0
+        # keep the host path's column-label dtype (ints stay ints)
+        unique_cats = (vmin + np.nonzero(vpres)[0]).astype(
+            np.dtype(values.data.dtype))
+        if has_nodata:
+            unique_cats = unique_cats[unique_cats != nodata_values]
+    else:
+        values_np_flat = np.asarray(values.data).ravel()
+        finite = np.isfinite(values_np_flat)
+        if has_nodata:
+            finite &= (values_np_flat != nodata_values)
+        unique_cats = np.unique(values_np_flat[finite])
     if cat_ids is None:
         cats = unique_cats
     else:
