@@ -107,28 +107,37 @@ def _jfa_rounds(tx_w, ty_w, tval, xs, ys, strides, metric, shape):
         d = _metric_key(px, ctx, py, cty, metric)
         return jnp.where(jnp.isfinite(ctx), d, inf)
 
+    def _shift_inf(arr, shift: int, axis: int):
+        """out[..i..] = arr[..i + shift..] with +inf fill (static pad +
+        slice — fuses ~2x better through XLA than roll's concat, and the
+        inf-coordinate fill makes out-of-bounds candidates infinitely far
+        with no iota validity masks at all)."""
+        if shift == 0:
+            return arr
+        pads = [(0, 0)] * arr.ndim
+        pads[axis] = (max(-shift, 0), max(shift, 0))
+        p = jnp.pad(arr, pads, constant_values=jnp.inf)
+        start = [0] * arr.ndim
+        start[axis] = max(-shift, 0) + shift
+        return jax.lax.dynamic_slice(p, start, arr.shape)
+
     def round_body(k: int):
-        # one JFA round at a STATIC stride: every neighbor read is a
-        # static jnp.roll (two contiguous slices XLA fuses into the
-        # consumers), vs a dynamic roll's concat + dynamic-slice copies.
-        # The three target channels ride stacked as (3, h, w) so the
-        # eight neighbors share separable 1-axis rolls (3 row variants,
-        # then column rolls per variant).
+        # one JFA round at a STATIC stride.  The target channels ride
+        # stacked as (C, h, w) so the eight neighbors share separable
+        # 1-axis shifts (3 row variants, then column shifts per variant);
+        # inf-filled shifts make out-of-bounds candidates infinitely far,
+        # so no validity masks are needed.
         def f(state):
             S, best = state
-            # out[i, j] = arr[i + sy*k, j + sx*k] -> roll -sy*k / -sx*k
-            rowvar = {-1: jnp.roll(S, k, axis=1), 0: S,
-                      1: jnp.roll(S, -k, axis=1)}
+            rowvar = {-1: _shift_inf(S, -k, 1), 0: S,
+                      1: _shift_inf(S, k, 1)}
             for sy in (-1, 0, 1):
                 for sx in (-1, 0, 1):
                     if sy == 0 and sx == 0:
                         continue
-                    dy, dx = sy * k, sx * k
-                    N = rowvar[sy] if sx == 0 else jnp.roll(
-                        rowvar[sy], -dx, axis=2)
-                    valid = ((rows + dy >= 0) & (rows + dy < h)
-                             & (cols + dx >= 0) & (cols + dx < w))
-                    nd = jnp.where(valid, cand_dist(N[0], N[1]), inf)
+                    N = rowvar[sy] if sx == 0 else _shift_inf(
+                        rowvar[sy], sx * k, 2)
+                    nd = cand_dist(N[0], N[1])
                     better = nd < best
                     S = jnp.where(better[None], N, S)
                     best = jnp.where(better, nd, best)
