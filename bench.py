@@ -152,7 +152,7 @@ def main():
               f"reference numpy 7.24 s @3000^2 = 0.62 Mpix/s)",
               file=sys.stderr)
 
-        targets = DataArray((np.asarray(dem2) > 900).astype(np.float32),
+        targets = DataArray((dem2 > 900).astype(jnp.float32),
                             dims=("y", "x"))
         targets["y"] = np.arange(n2, dtype=float)[::-1]
         targets["x"] = np.arange(n2, dtype=float)
