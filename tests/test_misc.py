@@ -45,3 +45,18 @@ def test_cli_info_and_examples(capsys):
     assert "xrspatial_tpu" in capsys.readouterr().out
     assert main(["examples"]) == 0
     assert main(["bogus"]) == 1
+
+
+def test_benchmark_suite_smoke():
+    # the ASV-style suite constructs and runs (two cheap classes, tiny size)
+    import sys
+    sys.path.insert(0, str(__import__("pathlib").Path(__file__).parents[1]))
+    from benchmarks.suite import Slope, Zonal
+    for cls in (Slope, Zonal):
+        b = cls()
+        b.params = ([32],)
+        b.repeat = 1
+        results = list(b.run())
+        assert results, cls.__name__
+        for name, nx, res in results:
+            assert not isinstance(res, Exception), (name, res)
