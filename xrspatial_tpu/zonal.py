@@ -262,7 +262,9 @@ def _dense_stats_presence(values, zones, zmin, nz, nodata, has_nodata,
             jnp.zeros(nz, jnp.float32))
     (ssum, cnt, ssq, smin, smax, pres), _ = jax.lax.scan(
         step, init, (vs, ss, zs))
-    return ssum, cnt, ssq, smin, smax, pres
+    # one stacked result -> ONE device->host fetch (each separate small
+    # fetch pays the ~30 ms tunnel roundtrip)
+    return jnp.stack([ssum, cnt, ssq, smin, smax, pres])
 
 
 @jax.jit
@@ -486,12 +488,12 @@ def stats(
         # device-resident integer zones: dense matmul bins, no host
         # round trip of the raster and no separate unique/segment-id pass
         zmin, nz_dense = dense
-        *raw, presence = _dense_stats_presence(
+        stacked = np.asarray(_dense_stats_presence(
             jnp.asarray(values.data), zones.data, zmin, nz_dense,
-            nodata, has_nodata)
-        present = np.asarray(presence) > 0
+            nodata, has_nodata))  # (6, nz): one fetch for all outputs
+        present = stacked[5] > 0
         unique_zones = zmin + np.nonzero(present)[0]
-        raw = tuple(np.asarray(r)[present] for r in raw)
+        raw = tuple(stacked[i][present] for i in range(5))
         seg_ids = None  # derived lazily for the DataArray return path
     else:
         zones_np = np.asarray(zones.data)
@@ -506,6 +508,8 @@ def stats(
         else:
             raw = _segment_stats(jnp.asarray(values.data), seg_ids,
                                  len(unique_zones), nodata, has_nodata)
+        if len(unique_zones):  # batch the 5 per-zone fetches into one
+            raw = tuple(np.asarray(jnp.stack(raw)))
 
     if zone_ids is None:
         sel_zones = unique_zones
