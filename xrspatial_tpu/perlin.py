@@ -38,21 +38,29 @@ def _gradient(h, x, y):
     """Dot product with one of 4 axis gradient vectors chosen by h % 4.
 
     Vector table [[0,1],[0,-1],[1,0],[-1,0]] (reference perlin.py:40).
-    The reference accumulates this in float64 (np.zeros default); mirrored
-    via explicit f64 cast.
+    With axis gradients the dot is just (+-x) or (+-y) — exact in every
+    dtype — so the output follows the input dtype (the reference's f64
+    accumulation only influenced the later lerps; see perlin_noise).
     """
     f = jnp.mod(h, 4)
-    gx = jnp.where(f == 2, 1.0, jnp.where(f == 3, -1.0, 0.0))
-    gy = jnp.where(f == 0, 1.0, jnp.where(f == 1, -1.0, 0.0))
-    return gx * x.astype(jnp.float64) + gy * y.astype(jnp.float64)
+    one = jnp.ones((), x.dtype)
+    zero = jnp.zeros((), x.dtype)
+    gx = jnp.where(f == 2, one, jnp.where(f == 3, -one, zero))
+    gy = jnp.where(f == 0, one, jnp.where(f == 1, -one, zero))
+    return gx * x + gy * y
 
 
 def perlin_noise(p: jax.Array, x: jax.Array, y: jax.Array) -> jax.Array:
     """Raw (un-normalized) perlin values for coordinate grids x, y."""
     xi = x.astype(jnp.int32)
     yi = y.astype(jnp.int32)
-    xf = x - xi
-    yf = y - yi
+    # the integer/fraction split needs the input precision (lattice
+    # coordinates reach 2^15+ at terrain's high octaves, where float32
+    # has no fractional resolution), but the fractions live in [0, 1)
+    # where float32 is plenty — so the fade/gradient/lerp math runs f32
+    # (f64 is software-emulated on TPU)
+    xf = (x - xi).astype(jnp.float32)
+    yf = (y - yi).astype(jnp.float32)
     u = _fade(xf)
     v = _fade(yf)
 

@@ -38,6 +38,14 @@ def _octave_add(acc, p, x, y, mult):
     return acc + perlin_noise(p, x, y) * mult
 
 
+# NOTE: one-dispatch variants of the octave loop were tried and are
+# SLOWER on this TPU than 16 separate jit calls: a fori-loop body with
+# traced frequencies ran 6x slower, a fully-unrolled single program 2x
+# slower (XLA fuses the 16 gather chains into a worse schedule than 16
+# small programs).  Keep per-octave dispatch; the win is the f32 fade/
+# gradient math after the f64 lattice split (see perlin.py).
+
+
 @jax.jit
 def _finalize(acc, zfactor):
     data = acc / _OCTAVE_NORM
@@ -92,11 +100,14 @@ def generate_terrain(agg: DataArray,
     y = jnp.asarray(y)
 
     with x64():
-        acc = jnp.zeros((height, width), dtype=jnp.float64)
+        x = x.astype(jnp.float64)
+        y = y.astype(jnp.float64)
+        acc = jnp.zeros((height, width), dtype=jnp.float32)
         for i in range(_N_OCTAVES):
             p = jnp.asarray(_permutation_table(seed + i))
             freq = float(2 ** i)
-            acc = _octave_add(acc, p, x * freq, y * freq, 1.0 / freq)
+            acc = _octave_add(acc, p, x * freq, y * freq,
+                              jnp.float32(1.0 / freq))
         out = _finalize(acc, float(zfactor))
 
     # datashader Canvas pixel-center coordinate convention
