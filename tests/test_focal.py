@@ -312,3 +312,19 @@ def test_sharded_mean(elevation_raster):
     out = np.asarray(mean(agg, passes=2).data)
     expected = ref_focal_mean(ref_focal_mean(elevation_raster))
     np.testing.assert_allclose(out, expected, equal_nan=True, rtol=1e-6)
+
+
+def test_mean_preserves_input_dtype():
+    # reference writes nanmean into np.zeros_like(data): integer rasters
+    # come back integer (truncated means), float32 stays float32
+    from xrspatial_tpu.xrlib import DataArray
+    data = np.array([[0, 0, 0], [0, 9, 0], [0, 0, 0]], dtype=np.int32)
+    out = mean(DataArray(data, dims=("y", "x")))
+    assert out.data.dtype == np.int32
+    # center mean = 1.0; corners mean = 9/4 = 2.25 -> truncates to 2
+    assert int(np.asarray(out.data)[0, 0]) == 2
+    assert int(np.asarray(out.data)[1, 1]) == 1
+
+    f32 = mean(DataArray(data.astype(np.float32), dims=("y", "x")))
+    assert f32.data.dtype == np.float32
+    np.testing.assert_allclose(np.asarray(f32.data)[0, 0], 2.25)

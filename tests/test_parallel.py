@@ -217,3 +217,32 @@ def test_sharded_classify_quantile():
     agg2.data = distribute(agg2.data, mesh)
     out = np.asarray(quantile(agg2, k=4).data)
     np.testing.assert_allclose(out, ref, equal_nan=True)
+
+
+def test_distribute_warns_on_indivisible_dim():
+    # 37 divides no mesh factor > 1: both dims replicate, two warnings
+    mesh = make_raster_mesh(2, 2)
+    data = np.zeros((37, 37), np.float32)
+    with pytest.warns(UserWarning, match="REPLICATED, not sharded"):
+        distribute(data, mesh)
+
+
+def test_distribute_no_warning_when_divisible():
+    import warnings as _w
+    mesh = make_raster_mesh(2, 2)
+    data = np.zeros((8, 6), np.float32)
+    with _w.catch_warnings():
+        _w.simplefilter("error", UserWarning)
+        distribute(data, mesh)
+
+
+def test_run_stencil_warns_on_offmesh_fallback():
+    from xrspatial_tpu.convolution import convolution_2d
+    mesh = make_raster_mesh(4, 2)
+    rng = np.random.default_rng(9)
+    data = (rng.random((8, 6)) * 10).astype(np.float32)
+    agg = create_test_raster(data)
+    agg.data = distribute(agg.data, mesh)   # shards are 2x3
+    kernel = np.ones((7, 7))                # radius 3 >= shard height 2
+    with pytest.warns(UserWarning, match="executing REPLICATED"):
+        convolution_2d(agg, kernel)

@@ -368,3 +368,34 @@ def test_crosstab_dense_device_matches_host(monkeypatch):
     assert list(df.columns) == list(ref.columns)
     for c in df.columns:
         np.testing.assert_allclose(df[c], ref[c])
+
+
+def test_dense_gate_rejects_out_of_int32_ids(monkeypatch):
+    # int64 ids with small range but huge magnitude must not take the
+    # dense int32 path (advisor finding r1); the host path still works
+    monkeypatch.setenv("XRSPATIAL_SORTED_SEGMENTS", "0")
+    from xrspatial_tpu.utils import x64
+    from xrspatial_tpu.zonal import _dense_zone_range
+    import jax.numpy as jnp
+    with x64():
+        big = jnp.asarray(
+            np.array([[10**12, 10**12 + 1], [10**12 + 1, 10**12]],
+                     dtype=np.int64))
+        assert _dense_zone_range(big) is None
+
+
+def test_dense_path_large_magnitude_int32_ids(monkeypatch):
+    # ids near the int32 ceiling with a tiny range: rebase-before-cast
+    # keeps the dense path exact
+    import jax.numpy as jnp
+    monkeypatch.setenv("XRSPATIAL_SORTED_SEGMENTS", "0")
+    base = 2**31 - 10
+    zones_np = np.array([[base, base + 2], [base + 2, base]], dtype=np.int64)
+    values_np = np.array([[1.0, 2.0], [4.0, 8.0]])
+    zones = DataArray(jnp.asarray(zones_np, dtype=jnp.int32),
+                      dims=("y", "x"))
+    values = DataArray(jnp.asarray(values_np), dims=("y", "x"))
+    df = stats(zones=zones, values=values, stats_funcs=["sum", "count"])
+    np.testing.assert_array_equal(df["zone"], [base, base + 2])
+    np.testing.assert_allclose(df["sum"], [9.0, 6.0])
+    np.testing.assert_allclose(df["count"], [2.0, 2.0])

@@ -54,12 +54,17 @@ def mean(agg, passes: int = 1, excludes=[np.nan], name: str = 'mean'):
 
     Cells whose value equals any entry of `excludes` (NaN-aware equality)
     are left unchanged; all others become the nanmean of their clipped
-    3x3 neighborhood.  Matches reference focal.py:44-67.
+    3x3 neighborhood.  Matches reference focal.py:44-67, including the
+    output dtype: results are written back in the INPUT dtype (the
+    reference assigns into ``np.zeros_like(data)``), so integer rasters
+    get truncated means.
     """
+    in_dtype = agg.data.dtype
     with x64():
         out = to_jax(agg, None).astype(jnp.float64)
         for _ in range(passes):
             out = _mean_distributed(out, excludes)
+        out = out.astype(in_dtype)
     return wrap_like(agg, out, name)
 
 

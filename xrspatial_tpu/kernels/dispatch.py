@@ -13,6 +13,8 @@ identical to the unpadded single-chip run.
 
 from __future__ import annotations
 
+import warnings
+
 from typing import Callable
 
 import jax
@@ -66,6 +68,12 @@ def run_stencil(kernel: Callable, radius, data, *args):
     shard_h = -(-data.shape[-2] // mesh.shape["y"])
     shard_w = -(-data.shape[-1] // mesh.shape["x"])
     if halo.ry >= shard_h or halo.rx >= shard_w:
+        warnings.warn(
+            f"run_stencil: halo radius ({halo.ry}, {halo.rx}) >= local "
+            f"shard ({shard_h}, {shard_w}); executing REPLICATED on one "
+            "device (correct, not distributed). Use a larger raster or a "
+            "smaller mesh/kernel to stay sharded.",
+            UserWarning, stacklevel=3)
         return kernel(jnp.asarray(np.asarray(data)), *args)
     key = (kernel, mesh, halo)
     runner = _compiled_cache.get(key)

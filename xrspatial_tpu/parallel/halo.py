@@ -16,6 +16,8 @@ r=k//2, ...) distributes through ``stencil_shard_map`` unchanged.
 
 from __future__ import annotations
 
+import warnings
+
 from dataclasses import dataclass
 from typing import Callable, Optional, Sequence
 
@@ -85,6 +87,15 @@ def distribute(data, mesh: Mesh):
     # gracefully to replication.
     spec_y = "y" if shape[-2] % mesh.shape["y"] == 0 else None
     spec_x = "x" if shape[-1] % mesh.shape["x"] == 0 else None
+    for ax, spec_ax, size in (("y", spec_y, shape[-2]),
+                              ("x", spec_x, shape[-1])):
+        if spec_ax is None and mesh.shape[ax] > 1:
+            warnings.warn(
+                f"distribute: dim of size {size} does not divide the mesh "
+                f"'{ax}' axis ({mesh.shape[ax]} devices); that dim is "
+                "REPLICATED, not sharded. Pad the raster to a multiple of "
+                "the mesh shape to distribute it.",
+                UserWarning, stacklevel=2)
     spec = (None,) * (arr.ndim - 2) + (spec_y, spec_x)
     return jax.device_put(arr, NamedSharding(mesh, P(*spec)))
 

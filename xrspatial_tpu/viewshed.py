@@ -1,11 +1,15 @@
 """Viewshed: visible cells from an observer location.
 
-TPU-native counterpart of reference ``xrspatial/viewshed.py``: same GRASS
-r.viewshed visibility predicate, evaluated data-parallel
-(kernels/viewshed.py) instead of the sequential radial sweep + red-black
-tree.  Output: vertical angle in degrees [0, 180] for visible cells
-(0 = straight up, 90 = level, 180 = the viewpoint itself), -1 for
-invisible cells.
+TPU-native counterpart of reference ``xrspatial/viewshed.py``.  Rasters up
+to ``_EXACT_MAX_CELLS`` (256x256) evaluate the exact GRASS r.viewshed
+visibility predicate pairwise (kernels/viewshed.py) instead of the
+sequential radial sweep + red-black tree.  Larger rasters switch to the
+octant-scan XDraw wavefront — an O(N) *approximation* whose
+interpolated-blocker model differs from the GRASS angular-span predicate
+beyond near-tie cells (measured agreement is pinned by
+tests/test_viewshed.py; see PARITY.md for the current bound).  Output:
+vertical angle in degrees [0, 180] for visible cells (0 = straight up,
+90 = level, 180 = the viewpoint itself), -1 for invisible cells.
 """
 
 from __future__ import annotations
@@ -46,6 +50,16 @@ def viewshed(raster: DataArray,
     target_elev : float
         Height of hypothetical targets above the terrain; a cell is
         visible if a target at that height above it can be seen.
+
+    Notes
+    -----
+    Rasters with at most 256x256 cells use the exact GRASS predicate
+    (pairwise angular spans + interpolated gradients, float64).  Larger
+    rasters use the XDraw octant-scan approximation (float32): an O(N)
+    wavefront whose interpolated-blocker errors can flip visibility at
+    cells that are not exact ties.  The measured agreement bound vs the
+    exact predicate is asserted in tests/test_viewshed.py and recorded in
+    PARITY.md.
     """
     y_coords = np.asarray(raster['y'].data)
     x_coords = np.asarray(raster['x'].data)

@@ -222,7 +222,10 @@ def _dense_stats_presence(values, zones, zmin, nz, nodata, has_nodata,
     all NaN still exists with NaN statistics, matching the host path).
     """
     v = values.ravel().astype(jnp.float32)
-    z = zones.ravel().astype(jnp.int32) - zmin
+    # rebase BEFORE the int32 cast: ids with large magnitude but a small
+    # range must not overflow the cast (the dense gate also bounds the
+    # raw range to int32, belt and braces)
+    z = (zones.ravel() - zmin).astype(jnp.int32)
     valid = jnp.isfinite(v)
     if has_nodata:
         valid = valid & (v != nodata)
@@ -275,7 +278,7 @@ def _int_min_max(z):
 @partial(jax.jit, static_argnames=("nz",))
 def _presence_only(zones, zmin, nz, chunk=262144):
     """Per-bin pixel counts over the dense integer range [zmin, zmin+nz)."""
-    z = zones.ravel().astype(jnp.int32) - zmin
+    z = (zones.ravel() - zmin).astype(jnp.int32)
     n = z.shape[0]
     n_chunks = -(-n // chunk)
     npad = n_chunks * chunk
@@ -295,7 +298,7 @@ def _presence_only(zones, zmin, nz, chunk=262144):
 def _dense_to_compact(zones, zmin, comp_table):
     """Compact segment ids from dense integer zones via a small-table
     lookup (bins absent from the raster never occur, so no miss check)."""
-    idx = jnp.clip(zones.ravel().astype(jnp.int32) - zmin, 0,
+    idx = jnp.clip((zones.ravel() - zmin).astype(jnp.int32), 0,
                    comp_table.shape[0] - 1)
     return comp_table[idx]
 
@@ -331,6 +334,8 @@ def _dense_zone_range(zdata):
         return None
     mn, mx = _int_min_max(zdata)
     zmin, zmax = int(mn), int(mx)
+    if zmin < -(2 ** 31) or zmax >= 2 ** 31:
+        return None  # raw ids would overflow the device int32 math
     nz = zmax - zmin + 1
     if not 0 < nz <= _MATMUL_MAX_ZONES:
         return None
@@ -685,6 +690,11 @@ def crosstab(
     if cat_ids is None:
         cats = unique_cats
     else:
+        # Deliberate deviation (PARITY.md #6): with a proper-subset cat_ids
+        # the reference's _single_zone_crosstab_2d folds skipped categories'
+        # counts into the next selected column (its cat cursor only advances
+        # on selected categories, reference zonal.py:747-791).  We report
+        # exact per-category counts instead.
         cats = np.array([c for c in cat_ids if c in unique_cats])
 
     counts, totals = _crosstab_counts(
