@@ -2,7 +2,10 @@
 
 Counterpart of reference ``xrspatial/__main__.py`` (which delegates to
 pyct).  Supported commands: ``examples`` (list bundled datasets),
-``info`` (environment/device report).
+``fetch-data [path]`` (copy bundled sample data into a working
+directory, the pyct ``fetch-data`` analog — the data ships with the
+package, so "fetching" is a local copy), ``info`` (environment/device
+report).
 """
 
 from __future__ import annotations
@@ -19,6 +22,21 @@ def main(args=None):
         for name in available_datasets or ["(none bundled)"]:
             print(f"  - {name}")
         return 0
+    if cmd == "fetch-data":
+        import os
+        import shutil
+
+        from .datasets import _module_path, available_datasets
+        target = args[1] if len(args) > 1 else "./data"
+        os.makedirs(target, exist_ok=True)
+        for name in available_datasets:
+            dst = os.path.join(target, name)
+            shutil.copytree(os.path.join(_module_path, name), dst,
+                            dirs_exist_ok=True)
+            print(f"copied {name} -> {dst}")
+        if not available_datasets:
+            print("no bundled datasets to fetch")
+        return 0
     if cmd == "info":
         import jax
 
@@ -27,7 +45,8 @@ def main(args=None):
         print(f"jax {jax.__version__} backend={jax.default_backend()}")
         print(f"devices: {jax.devices()}")
         return 0
-    print(f"Unknown command {cmd!r}. Available: examples, info")
+    print(f"Unknown command {cmd!r}. Available: examples, fetch-data, "
+          "info")
     return 1
 
 

@@ -47,6 +47,9 @@ def get_data(dataset):
                 if "y" in f and "x" in f:
                     arr["y"] = f["y"]
                     arr["x"] = f["x"]
+                if "res" in f:
+                    res = f["res"]
+                    arr.attrs["res"] = (float(res[0]), float(res[1]))
                 data[str(f["name"])] = arr
     return data
 
