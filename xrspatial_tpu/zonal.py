@@ -81,19 +81,19 @@ def _segment_stats_sorted(values, seg_ids, num_segments, nodata, has_nodata):
 
     seg_sorted, v_sorted = jax.lax.sort((seg, vs), num_keys=2)
 
-    # Two-level prefix sums: f32 cumsum inside 256-element blocks (bounded
-    # rounding) + f64 cumsum over the tiny block-totals array.  Avoids a
-    # full-length f64 scan (f64 is emulated on TPU) while keeping the
-    # boundary differences accurate far beyond the 1e-5 contract.
+    # Two-level f64 prefix sums (f64 intra-block + f64 block-cumsum).
+    # This path only runs on CPU (_use_sorted_segments), where f64 is
+    # native: an earlier f32 intra-block cumsum drifted the boundary
+    # differences ~2e-5 relative on low-count zones (running-total ulps).
     n = v_sorted.shape[0]
     block = 256
     nb = -(-n // block)
     npad = nb * block
 
     def two_level_prefix(x):
-        xp = jnp.pad(x, (0, npad - n)).reshape(nb, block)
+        xp = jnp.pad(x.astype(jnp.float64), (0, npad - n)).reshape(nb, block)
         intra = jnp.cumsum(xp, axis=1)
-        totals = intra[:, -1].astype(jnp.float64)
+        totals = intra[:, -1]
         blockcum = jnp.concatenate(
             [jnp.zeros((1,), jnp.float64), jnp.cumsum(totals)])
 
@@ -116,62 +116,105 @@ def _segment_stats_sorted(values, seg_ids, num_segments, nodata, has_nodata):
     start = bounds[:-1]
     end = bounds[1:]
 
-    ssum = (prefix_v(end) - prefix_v(start)).astype(jnp.float32)
-    ssumsq = (prefix_v2(end) - prefix_v2(start)).astype(jnp.float32)
-    cnt = (end - start).astype(jnp.float32)
+    ssum64 = prefix_v(end) - prefix_v(start)
+    ssumsq64 = prefix_v2(end) - prefix_v2(start)
+    cnt64 = (end - start).astype(jnp.float64)
+    # centered sum of squares in f64: the prefix sums are f64-exact to
+    # ~1e-16 relative, so the algebraic form stays far inside 1e-5
+    css = jnp.where(
+        cnt64 > 0,
+        ssumsq64 - ssum64 * ssum64 / jnp.maximum(cnt64, 1.0), 0.0)
+    ssum = ssum64.astype(jnp.float32)
+    cnt = cnt64.astype(jnp.float32)
     nonempty = end > start
     smin = jnp.where(nonempty, v_sorted[jnp.clip(start, 0, v.shape[0] - 1)],
                      jnp.inf)
     smax = jnp.where(nonempty,
                      v_sorted[jnp.clip(end - 1, 0, v.shape[0] - 1)],
                      -jnp.inf)
-    return ssum, cnt, ssumsq, smin, smax
+    return ssum, cnt, css.astype(jnp.float32), smin, smax
 
 
-@partial(jax.jit, static_argnames=("num_segments", "has_nodata"))
+@partial(jax.jit, static_argnames=("num_segments", "has_nodata", "chunk"))
 def _segment_stats_scatter(values, seg_ids, num_segments, nodata,
-                           has_nodata):
-    """Scatter-based variant (jax.ops.segment_*).
+                           has_nodata, chunk=16384):
+    """Scatter-based variant (jax.ops.segment_*), chunk-compensated.
 
-    The TPU default: variadic (multi-key) ``lax.sort`` and int64 sorts are
-    minutes-slow / worker-wedging on the axon backend, while scatter
-    segment ops run in seconds at 16.7M elements (see
-    _use_sorted_segments).  CPU uses the sorted variant.
+    Fallback for zone counts beyond the matmul ceiling.  A single flat
+    segment_sum accumulates each bin sequentially in f32 and drifts
+    ~3e-3 at 16.7M elements; chunking bounds the sequential run to
+    `chunk` adds and the cross-chunk combine is an XLA tree reduction,
+    which keeps sums inside the 1e-5 parity contract.
     """
     v = values.ravel().astype(jnp.float32)
     valid = jnp.isfinite(v)
     if has_nodata:
         valid = valid & (v != nodata)
-    seg = jnp.where(valid, seg_ids, num_segments)
-    w = valid.astype(jnp.float32)
+    seg = jnp.where(valid, seg_ids, num_segments).astype(jnp.int32)
     vz = jnp.where(valid, v, 0.0)
     n = num_segments + 1
-    ssum = jax.ops.segment_sum(vz, seg, num_segments=n)[:-1]
-    cnt = jax.ops.segment_sum(w, seg, num_segments=n)[:-1]
-    ssumsq = jax.ops.segment_sum(vz * vz, seg, num_segments=n)[:-1]
-    smin = jax.ops.segment_min(jnp.where(valid, v, jnp.inf), seg,
-                               num_segments=n)[:-1]
-    smax = jax.ops.segment_max(jnp.where(valid, v, -jnp.inf), seg,
-                               num_segments=n)[:-1]
-    return ssum, cnt, ssumsq, smin, smax
+
+    sz = v.shape[0]
+    n_chunks = -(-sz // chunk)
+    npad = n_chunks * chunk
+    vs = jnp.pad(vz, (0, npad - sz)).reshape(n_chunks, chunk)
+    ss = jnp.pad(seg, (0, npad - sz),
+                 constant_values=num_segments).reshape(n_chunks, chunk)
+    vinf = jnp.pad(jnp.where(valid, v, jnp.inf), (0, npad - sz),
+                   constant_values=jnp.inf).reshape(n_chunks, chunk)
+    vninf = jnp.pad(jnp.where(valid, v, -jnp.inf), (0, npad - sz),
+                    constant_values=-jnp.inf).reshape(n_chunks, chunk)
+    wts = jnp.pad(valid.astype(jnp.float32),
+                  (0, npad - sz)).reshape(n_chunks, chunk)
+
+    seg_sum = partial(jax.ops.segment_sum, num_segments=n)
+    ssum = jnp.sum(jax.vmap(seg_sum)(vs, ss), axis=0)[:-1]
+    cnt = jnp.sum(jax.vmap(seg_sum)(wts, ss), axis=0)[:-1]
+    ssumsq = jnp.sum(jax.vmap(seg_sum)(vs * vs, ss), axis=0)[:-1]
+    seg_min = partial(jax.ops.segment_min, num_segments=n)
+    seg_max = partial(jax.ops.segment_max, num_segments=n)
+    smin = jnp.min(jax.vmap(seg_min)(vinf, ss), axis=0)[:-1]
+    smax = jnp.max(jax.vmap(seg_max)(vninf, ss), axis=0)[:-1]
+    # algebraic centered sum of squares: f32 cancellation makes std/var
+    # of near-constant zones imprecise on this (>65536-zone) tail path;
+    # the matmul path below computes a true two-pass css instead
+    css = jnp.maximum(
+        ssumsq - ssum * ssum / jnp.maximum(cnt, 1.0), 0.0)
+    return ssum, cnt, css, smin, smax
 
 
-@partial(jax.jit, static_argnames=("num_segments", "has_nodata", "chunk"))
+@partial(jax.jit,
+         static_argnames=("num_segments", "has_nodata", "need_var",
+                          "slab", "chunk"))
 def _segment_stats_matmul(values, seg_ids, num_segments, nodata, has_nodata,
-                          chunk=65536):
-    """One-hot matmul variant: the TPU default.
+                          need_var=True, slab=4096, chunk=65536):
+    """One-hot matmul variant: the TPU default, for ANY zone count.
 
-    Each chunk builds its (chunk, nz) one-hot zone matrix and reduces via
-    the MXU — measured ~50x faster than scatter segment ops at 16.7M
-    elements AND far more accurate (per-chunk accumulation: 2e-7 relative
-    vs scatter's 3e-3 sequential-f32 drift).
+    Each pixel chunk builds its (chunk, slab) one-hot zone matrix and
+    reduces via the MXU — measured ~50x faster than scatter segment ops at
+    16.7M elements AND far more accurate (per-chunk accumulation: 2e-7
+    relative vs scatter's 3e-3 sequential-f32 drift).  Zone counts above
+    `slab` run as an outer lax.scan over 4096-wide zone slabs (one-hot
+    memory stays bounded at chunk*slab*4 bytes; the pixel data is re-read
+    once per slab, trivial next to the one-hot compute).
+
+    Variance uses a true TWO-PASS centered sum of squares
+    css = sum((x - mean_zone)^2): the single-pass E[x^2]-E[x]^2 form
+    cancels catastrophically in f32 for low-spread zones (errors up to
+    ~0.2 absolute on std observed at 16k zones).  Pass 2 reconstructs
+    each pixel's zone mean with the same one-hot matmul (a per-element
+    table gather is pathological on TPU) and is skipped when neither
+    std nor var was requested (`need_var=False`).
     """
     v = values.ravel().astype(jnp.float32)
     valid = jnp.isfinite(v)
     if has_nodata:
         valid = valid & (v != nodata)
     nz = num_segments
-    seg = jnp.where(valid, seg_ids, nz).astype(jnp.int32)
+    slab = min(slab, nz)  # static: nz is a static argname
+    n_slabs = -(-nz // slab)
+    nzp = n_slabs * slab  # overflow bin = nzp: matches no slab's iota
+    seg = jnp.where(valid, seg_ids, nzp).astype(jnp.int32)
     vz = jnp.where(valid, v, 0.0)
 
     n = v.shape[0]
@@ -179,39 +222,79 @@ def _segment_stats_matmul(values, seg_ids, num_segments, nodata, has_nodata,
     npad = n_chunks * chunk
     vs = jnp.pad(vz, (0, npad - n)).reshape(n_chunks, chunk)
     ss = jnp.pad(seg, (0, npad - n),
-                 constant_values=nz).reshape(n_chunks, chunk)
-    iota = jnp.arange(nz, dtype=jnp.int32)
+                 constant_values=nzp).reshape(n_chunks, chunk)
+    base_iota = jnp.arange(slab, dtype=jnp.int32)
+    los = jnp.arange(0, nzp, slab, dtype=jnp.int32)
 
-    def step(carry, inp):
-        ssum, cnt, ssq, smin, smax = carry
+    def slab_body(_, lo):
+        iota = lo + base_iota
+
+        def step(carry, inp):
+            ssum, cnt, smin, smax = carry
+            vc, sc = inp
+            oh = (sc[:, None] == iota[None, :]).astype(jnp.float32)
+            ssum = ssum + jnp.dot(vc, oh,
+                                  preferred_element_type=jnp.float32)
+            cnt = cnt + jnp.sum(oh, axis=0)
+            smin = jnp.minimum(smin, jnp.min(
+                jnp.where(oh > 0, vc[:, None], jnp.inf), axis=0))
+            smax = jnp.maximum(smax, jnp.max(
+                jnp.where(oh > 0, vc[:, None], -jnp.inf), axis=0))
+            return (ssum, cnt, smin, smax), None
+
+        init = (jnp.zeros(slab, jnp.float32), jnp.zeros(slab, jnp.float32),
+                jnp.full(slab, jnp.inf, jnp.float32),
+                jnp.full(slab, -jnp.inf, jnp.float32))
+        out, _ = jax.lax.scan(step, init, (vs, ss))
+        return None, out
+
+    _, res = jax.lax.scan(slab_body, None, los)  # each: (n_slabs, slab)
+    ssum2d, cnt2d, smin2d, smax2d = res
+    ssum, cnt, smin, smax = (r.reshape(nzp)[:nz] for r in res)
+
+    if not need_var:
+        return ssum, cnt, jnp.zeros_like(ssum), smin, smax
+
+    mu2d = jnp.where(cnt2d > 0, ssum2d / jnp.maximum(cnt2d, 1.0), 0.0)
+
+    def step2(css, inp):
         vc, sc = inp
-        oh = (sc[:, None] == iota[None, :]).astype(jnp.float32)
-        ssum = ssum + jnp.dot(vc, oh, preferred_element_type=jnp.float32)
-        cnt = cnt + jnp.sum(oh, axis=0)
-        ssq = ssq + jnp.dot(vc * vc, oh,
-                            preferred_element_type=jnp.float32)
-        smin = jnp.minimum(smin, jnp.min(
-            jnp.where(oh > 0, vc[:, None], jnp.inf), axis=0))
-        smax = jnp.maximum(smax, jnp.max(
-            jnp.where(oh > 0, vc[:, None], -jnp.inf), axis=0))
-        return (ssum, cnt, ssq, smin, smax), None
 
-    init = (jnp.zeros(nz, jnp.float32), jnp.zeros(nz, jnp.float32),
-            jnp.zeros(nz, jnp.float32),
-            jnp.full(nz, jnp.inf, jnp.float32),
-            jnp.full(nz, -jnp.inf, jnp.float32))
-    (ssum, cnt, ssq, smin, smax), _ = jax.lax.scan(step, init, (vs, ss))
-    return ssum, cnt, ssq, smin, smax
+        def mu_body(acc, xs):
+            lo, mu_s = xs
+            iota = lo + base_iota
+            oh = (sc[:, None] == iota[None, :]).astype(jnp.float32)
+            return acc + jnp.dot(oh, mu_s,
+                                 preferred_element_type=jnp.float32), None
+
+        mu_pix, _ = jax.lax.scan(mu_body, jnp.zeros_like(vc), (los, mu2d))
+        dd = (vc - mu_pix) ** 2
+
+        def css_body(_, lo):
+            iota = lo + base_iota
+            oh = (sc[:, None] == iota[None, :]).astype(jnp.float32)
+            return None, jnp.dot(dd, oh,
+                                 preferred_element_type=jnp.float32)
+
+        _, contrib = jax.lax.scan(css_body, None, los)
+        return css + contrib, None
+
+    css2d, _ = jax.lax.scan(step2, jnp.zeros((n_slabs, slab), jnp.float32),
+                            (vs, ss))
+    return ssum, cnt, css2d.reshape(nzp)[:nz], smin, smax
 
 
-# one-hot chunk memory is chunk*nz*4 bytes; above this zone count fall
-# back to scatter ops rather than shrinking chunks indefinitely
+# one-hot slab width for the matmul segment core (chunk*slab*4 bytes of
+# transient one-hot per step); total-zone ceiling above which the
+# slab scan would be slower than chunk-compensated scatter
 _MATMUL_MAX_ZONES = 4096
+_MATMUL_MAX_ZONES_TOTAL = 65536
 
 
-@partial(jax.jit, static_argnames=("nz", "has_nodata"))
+@partial(jax.jit, static_argnames=("nz", "has_nodata", "need_var",
+                                   "slab", "chunk"))
 def _dense_stats_presence(values, zones, zmin, nz, nodata, has_nodata,
-                          chunk=65536):
+                          need_var=True, slab=4096, chunk=65536):
     """Matmul segment stats over the DENSE integer zone range
     [zmin, zmin+nz), plus a per-bin pixel-presence histogram.
 
@@ -220,6 +303,8 @@ def _dense_stats_presence(values, zones, zmin, nz, nodata, has_nodata,
     z - zmin; empty bins are filtered afterwards from the tiny per-bin
     fetch.  Presence counts ALL pixels of a zone (a zone whose values are
     all NaN still exists with NaN statistics, matching the host path).
+    Zone ranges above `slab` run as an outer lax.scan over 4096-wide
+    slabs, same scheme as _segment_stats_matmul.
     """
     v = values.ravel().astype(jnp.float32)
     # rebase BEFORE the int32 cast: ids with large magnitude but a small
@@ -229,7 +314,10 @@ def _dense_stats_presence(values, zones, zmin, nz, nodata, has_nodata,
     valid = jnp.isfinite(v)
     if has_nodata:
         valid = valid & (v != nodata)
-    segv = jnp.where(valid, z, nz)
+    slab = min(slab, nz)  # static: nz is a static argname
+    n_slabs = -(-nz // slab)
+    nzp = n_slabs * slab  # overflow bin = nzp: matches no slab's iota
+    segv = jnp.where(valid, z, nzp)
     vz = jnp.where(valid, v, 0.0)
 
     n = v.shape[0]
@@ -237,37 +325,78 @@ def _dense_stats_presence(values, zones, zmin, nz, nodata, has_nodata,
     npad = n_chunks * chunk
     vs = jnp.pad(vz, (0, npad - n)).reshape(n_chunks, chunk)
     ss = jnp.pad(segv, (0, npad - n),
-                 constant_values=nz).reshape(n_chunks, chunk)
+                 constant_values=nzp).reshape(n_chunks, chunk)
     zs = jnp.pad(z, (0, npad - n),
-                 constant_values=nz).reshape(n_chunks, chunk)
-    iota = jnp.arange(nz, dtype=jnp.int32)
+                 constant_values=nzp).reshape(n_chunks, chunk)
+    base_iota = jnp.arange(slab, dtype=jnp.int32)
 
-    def step(carry, inp):
-        ssum, cnt, ssq, smin, smax, pres = carry
-        vc, sc, zc = inp
-        oh = (sc[:, None] == iota[None, :]).astype(jnp.float32)
-        ohp = (zc[:, None] == iota[None, :]).astype(jnp.float32)
-        ssum = ssum + jnp.dot(vc, oh, preferred_element_type=jnp.float32)
-        cnt = cnt + jnp.sum(oh, axis=0)
-        pres = pres + jnp.sum(ohp, axis=0)
-        ssq = ssq + jnp.dot(vc * vc, oh,
-                            preferred_element_type=jnp.float32)
-        smin = jnp.minimum(smin, jnp.min(
-            jnp.where(oh > 0, vc[:, None], jnp.inf), axis=0))
-        smax = jnp.maximum(smax, jnp.max(
-            jnp.where(oh > 0, vc[:, None], -jnp.inf), axis=0))
-        return (ssum, cnt, ssq, smin, smax, pres), None
+    los = jnp.arange(0, nzp, slab, dtype=jnp.int32)
 
-    init = (jnp.zeros(nz, jnp.float32), jnp.zeros(nz, jnp.float32),
-            jnp.zeros(nz, jnp.float32),
-            jnp.full(nz, jnp.inf, jnp.float32),
-            jnp.full(nz, -jnp.inf, jnp.float32),
-            jnp.zeros(nz, jnp.float32))
-    (ssum, cnt, ssq, smin, smax, pres), _ = jax.lax.scan(
-        step, init, (vs, ss, zs))
+    def slab_body(_, lo):
+        iota = lo + base_iota
+
+        def step(carry, inp):
+            ssum, cnt, smin, smax, pres = carry
+            vc, sc, zc = inp
+            oh = (sc[:, None] == iota[None, :]).astype(jnp.float32)
+            ohp = (zc[:, None] == iota[None, :]).astype(jnp.float32)
+            ssum = ssum + jnp.dot(vc, oh,
+                                  preferred_element_type=jnp.float32)
+            cnt = cnt + jnp.sum(oh, axis=0)
+            pres = pres + jnp.sum(ohp, axis=0)
+            smin = jnp.minimum(smin, jnp.min(
+                jnp.where(oh > 0, vc[:, None], jnp.inf), axis=0))
+            smax = jnp.maximum(smax, jnp.max(
+                jnp.where(oh > 0, vc[:, None], -jnp.inf), axis=0))
+            return (ssum, cnt, smin, smax, pres), None
+
+        init = (jnp.zeros(slab, jnp.float32), jnp.zeros(slab, jnp.float32),
+                jnp.full(slab, jnp.inf, jnp.float32),
+                jnp.full(slab, -jnp.inf, jnp.float32),
+                jnp.zeros(slab, jnp.float32))
+        out, _ = jax.lax.scan(step, init, (vs, ss, zs))
+        return None, out
+
+    _, res = jax.lax.scan(slab_body, None, los)  # each: (n_slabs, slab)
+    ssum2d, cnt2d, smin2d, smax2d, pres2d = res
+
+    if need_var:
+        # pass 2: two-pass centered sum of squares (see
+        # _segment_stats_matmul — same scheme, same rationale)
+        mu2d = jnp.where(cnt2d > 0, ssum2d / jnp.maximum(cnt2d, 1.0), 0.0)
+
+        def step2(css, inp):
+            vc, sc = inp
+
+            def mu_body(acc, xs):
+                lo, mu_s = xs
+                iota = lo + base_iota
+                oh = (sc[:, None] == iota[None, :]).astype(jnp.float32)
+                return acc + jnp.dot(
+                    oh, mu_s, preferred_element_type=jnp.float32), None
+
+            mu_pix, _ = jax.lax.scan(mu_body, jnp.zeros_like(vc),
+                                     (los, mu2d))
+            dd = (vc - mu_pix) ** 2
+
+            def css_body(_, lo):
+                iota = lo + base_iota
+                oh = (sc[:, None] == iota[None, :]).astype(jnp.float32)
+                return None, jnp.dot(dd, oh,
+                                     preferred_element_type=jnp.float32)
+
+            _, contrib = jax.lax.scan(css_body, None, los)
+            return css + contrib, None
+
+        css2d, _ = jax.lax.scan(
+            step2, jnp.zeros((n_slabs, slab), jnp.float32), (vs, ss))
+    else:
+        css2d = jnp.zeros((n_slabs, slab), jnp.float32)
+
     # one stacked result -> ONE device->host fetch (each separate small
     # fetch pays the ~30 ms tunnel roundtrip)
-    return jnp.stack([ssum, cnt, ssq, smin, smax, pres])
+    stacked = jnp.stack([ssum2d, cnt2d, css2d, smin2d, smax2d, pres2d])
+    return stacked.reshape(6, nzp)[:, :nz]
 
 
 @jax.jit
@@ -275,23 +404,39 @@ def _int_min_max(z):
     return jnp.min(z), jnp.max(z)
 
 
-@partial(jax.jit, static_argnames=("nz",))
-def _presence_only(zones, zmin, nz, chunk=262144):
-    """Per-bin pixel counts over the dense integer range [zmin, zmin+nz)."""
+@partial(jax.jit, static_argnames=("nz", "slab", "chunk"))
+def _presence_only(zones, zmin, nz, slab=4096, chunk=262144):
+    """Per-bin pixel counts over the dense integer range [zmin, zmin+nz).
+
+    Slabbed like _segment_stats_matmul so the transient one-hot stays
+    bounded at chunk*slab*4 bytes for any zone range.
+    """
     z = (zones.ravel() - zmin).astype(jnp.int32)
+    slab = min(slab, nz)
+    n_slabs = -(-nz // slab)
+    nzp = n_slabs * slab
     n = z.shape[0]
     n_chunks = -(-n // chunk)
     npad = n_chunks * chunk
-    zs = jnp.pad(z, (0, npad - n), constant_values=nz).reshape(n_chunks,
-                                                               chunk)
-    iota = jnp.arange(nz, dtype=jnp.int32)
+    zs = jnp.pad(z, (0, npad - n), constant_values=nzp).reshape(n_chunks,
+                                                                chunk)
+    base_iota = jnp.arange(slab, dtype=jnp.int32)
 
-    def step(pres, zc):
-        oh = (zc[:, None] == iota[None, :]).astype(jnp.float32)
-        return pres + jnp.sum(oh, axis=0), None
+    def slab_body(_, lo):
+        iota = lo + base_iota
 
-    pres, _ = jax.lax.scan(step, jnp.zeros(nz, jnp.float32), zs)
-    return pres
+        def step(pres, zc):
+            oh = (zc[:, None] == iota[None, :]).astype(jnp.float32)
+            return pres + jnp.sum(oh, axis=0), None
+
+        pres, _ = jax.lax.scan(step, jnp.zeros(slab, jnp.float32), zs)
+        return None, pres
+
+    if n_slabs == 1:
+        return slab_body(None, jnp.int32(0))[1]
+    _, res = jax.lax.scan(
+        slab_body, None, jnp.arange(0, nzp, slab, dtype=jnp.int32))
+    return res.reshape(nzp)[:nz]
 
 
 @jax.jit
@@ -301,6 +446,31 @@ def _dense_to_compact(zones, zmin, comp_table):
     idx = jnp.clip((zones.ravel() - zmin).astype(jnp.int32), 0,
                    comp_table.shape[0] - 1)
     return comp_table[idx]
+
+
+def _unique_float_device(vdata, nodata_values):
+    """Sorted-unique of the finite values of a device-resident float
+    raster, without fetching the raster to host.
+
+    One single-operand f32 sort (fast on the TPU backend: ~70 ms at
+    16.7M elements) + a boundary mask; only the scalar count and the
+    tiny (k,) unique table cross the tunnel — replaces the multi-second
+    full-raster np.unique round trip (r1 known gap).
+    """
+    v = vdata.ravel().astype(jnp.float32)
+    v = jnp.sort(jnp.where(jnp.isfinite(v), v, jnp.inf))
+    if v.shape[0] == 0:
+        return np.array([], dtype=np.float32)
+    new = jnp.concatenate(
+        [jnp.ones((1,), bool), v[1:] != v[:-1]]) & jnp.isfinite(v)
+    k = int(jnp.sum(new))  # scalar fetch
+    if k == 0:
+        return np.array([], dtype=np.float32)
+    idx = jnp.nonzero(new, size=k)[0]
+    u = np.asarray(v[idx])
+    if nodata_values is not None:
+        u = u[u != np.float32(nodata_values)]
+    return u
 
 
 def _unique_and_seg_ids(zdata):
@@ -337,7 +507,7 @@ def _dense_zone_range(zdata):
     if zmin < -(2 ** 31) or zmax >= 2 ** 31:
         return None  # raw ids would overflow the device int32 math
     nz = zmax - zmin + 1
-    if not 0 < nz <= _MATMUL_MAX_ZONES:
+    if not 0 < nz <= _MATMUL_MAX_ZONES_TOTAL:
         return None
     return zmin, nz
 
@@ -353,25 +523,25 @@ def _use_sorted_segments() -> bool:
     return jax.default_backend() != "tpu"
 
 
-def _segment_stats(values, seg_ids, num_segments, nodata, has_nodata):
+def _segment_stats(values, seg_ids, num_segments, nodata, has_nodata,
+                   need_var=True):
     if _use_sorted_segments():
         return _segment_stats_sorted(values, seg_ids, num_segments, nodata,
                                      has_nodata)
-    if 0 < num_segments <= _MATMUL_MAX_ZONES:
+    if 0 < num_segments <= _MATMUL_MAX_ZONES_TOTAL:
         return _segment_stats_matmul(values, seg_ids, num_segments, nodata,
-                                     has_nodata)
+                                     has_nodata, need_var)
     return _segment_stats_scatter(values, seg_ids, num_segments, nodata,
                                   has_nodata)
 
 
-def _derived_stats(ssum, cnt, ssumsq, smin, smax):
+def _derived_stats(ssum, cnt, css, smin, smax):
     cnt_np = np.asarray(cnt, dtype=np.float64)
     ssum_np = np.asarray(ssum, dtype=np.float64)
-    ssumsq_np = np.asarray(ssumsq, dtype=np.float64)
+    css_np = np.asarray(css, dtype=np.float64)
     with np.errstate(invalid="ignore", divide="ignore"):
         mean = np.where(cnt_np > 0, ssum_np / cnt_np, np.nan)
-        var = np.where(cnt_np > 0,
-                       ssumsq_np / cnt_np - mean * mean, np.nan)
+        var = np.where(cnt_np > 0, css_np / cnt_np, np.nan)
         var = np.maximum(var, 0.0)
         std = np.sqrt(var)
     out = {
@@ -485,7 +655,16 @@ def stats(
     has_nodata = nodata_values is not None
     nodata = jnp.float32(nodata_values if has_nodata else 0.0)
     needs_host_zones = bool(custom_funcs) or "majority" in stat_names
-    dense = None if needs_host_zones else _dense_zone_range(zones.data)
+    need_var = bool(custom_funcs) or bool(
+        {"std", "var"} & set(stat_names))
+    zdata = zones.data
+    if (not needs_host_zones and isinstance(zdata, np.ndarray)
+            and jax.default_backend() == "tpu"
+            and np.issubdtype(zdata.dtype, np.integer)):
+        # host-numpy inputs: one up-front upload lets the dense device
+        # path run (np.unique of a large raster on host costs seconds)
+        zdata = jnp.asarray(zdata)
+    dense = None if needs_host_zones else _dense_zone_range(zdata)
     zones_np = None
     values_np = None  # materialized lazily for host paths
 
@@ -494,8 +673,9 @@ def stats(
         # round trip of the raster and no separate unique/segment-id pass
         zmin, nz_dense = dense
         stacked = np.asarray(_dense_stats_presence(
-            jnp.asarray(values.data), zones.data, zmin, nz_dense,
-            nodata, has_nodata))  # (6, nz): one fetch for all outputs
+            jnp.asarray(values.data), zdata, zmin, nz_dense,
+            nodata, has_nodata,
+            need_var))  # (6, nz): one fetch for all outputs
         present = stacked[5] > 0
         unique_zones = zmin + np.nonzero(present)[0]
         raw = tuple(stacked[i][present] for i in range(5))
@@ -512,7 +692,8 @@ def stats(
                                      len(unique_zones), nodata, has_nodata)
         else:
             raw = _segment_stats(jnp.asarray(values.data), seg_ids,
-                                 len(unique_zones), nodata, has_nodata)
+                                 len(unique_zones), nodata, has_nodata,
+                                 need_var)
         if len(unique_zones):  # batch the 5 per-zone fetches into one
             raw = tuple(np.asarray(jnp.stack(raw)))
 
@@ -621,7 +802,18 @@ def crosstab(
     else:
         raise ValueError("`values` must be 2D or 3D")
 
-    unique_zones, seg_ids = _unique_and_seg_ids(zones.data)
+    zdata = zones.data
+    vdata = values.data
+    if jax.default_backend() == "tpu":
+        # one up-front upload so host-numpy inputs ride the device paths
+        # (dense bins / device sort-unique) instead of host np.unique
+        if (isinstance(zdata, np.ndarray)
+                and np.issubdtype(zdata.dtype, np.integer)):
+            zdata = jnp.asarray(zdata)
+        if isinstance(vdata, np.ndarray) and values.ndim == 2:
+            vdata = jnp.asarray(vdata)
+
+    unique_zones, seg_ids = _unique_and_seg_ids(zdata)
     if zone_ids is None:
         sel_zones = unique_zones
     else:
@@ -661,7 +853,8 @@ def crosstab(
                                          has_nodata)
             else:
                 raw = _segment_stats(cube[li], seg_ids, nz, nodata,
-                                     has_nodata)
+                                     has_nodata,
+                                     need_var=agg in ("std", "var"))
             derived = _derived_stats(*raw)
             col = derived[agg]
             if agg == "count":
@@ -672,17 +865,23 @@ def crosstab(
         return pd.DataFrame(result)
 
     # 2D case
-    dense_v = _dense_zone_range(values.data)
+    dense_v = _dense_zone_range(vdata)
     if dense_v is not None:
         vmin, nv = dense_v
-        vpres = np.asarray(_presence_only(values.data, vmin, nv)) > 0
+        vpres = np.asarray(_presence_only(vdata, vmin, nv)) > 0
         # keep the host path's column-label dtype (ints stay ints)
         unique_cats = (vmin + np.nonzero(vpres)[0]).astype(
-            np.dtype(values.data.dtype))
+            np.dtype(vdata.dtype))
         if has_nodata:
             unique_cats = unique_cats[unique_cats != nodata_values]
+    elif (isinstance(vdata, jax.Array) and not isinstance(vdata, np.ndarray)
+            and jax.default_backend() == "tpu"):
+        # device-resident float categories: sort-unique on device (labels
+        # round through f32 — documented deviation for this path)
+        unique_cats = _unique_float_device(vdata, nodata_values).astype(
+            np.dtype(vdata.dtype))
     else:
-        values_np_flat = np.asarray(values.data).ravel()
+        values_np_flat = np.asarray(vdata).ravel()
         finite = np.isfinite(values_np_flat)
         if has_nodata:
             finite &= (values_np_flat != nodata_values)
@@ -698,7 +897,7 @@ def crosstab(
         cats = np.array([c for c in cat_ids if c in unique_cats])
 
     counts, totals = _crosstab_counts(
-        seg_ids, jnp.asarray(values.data),
+        seg_ids, jnp.asarray(vdata),
         jnp.asarray(unique_cats.astype(np.float32)),
         nz, len(unique_cats), nodata, has_nodata)
     counts = np.asarray(counts)
