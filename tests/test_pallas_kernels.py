@@ -49,3 +49,36 @@ def test_pallas_window_offsets_and_radius():
     assert (0, 0) in offs
     assert len(offs) == int(k.sum())
     assert max(abs(dy) for dy, _ in offs) == 1
+
+
+def test_surface_tiled_interpret_parity():
+    """The classic-pipeline tiled surface kernel (pallas_surface2) runs in
+    interpret mode on CPU — full parity check of the tile-interior +
+    seam-band + ring assembly against the XLA reference path, including a
+    ragged shape and interior NaNs crossing a tile seam."""
+    import jax.numpy as jnp
+    from xrspatial_tpu.kernels.pallas_surface2 import surface_tiled
+    from xrspatial_tpu.kernels.surface import (aspect_jit, curvature_jit,
+                                               hillshade_jit, slope_jit)
+    f32 = jnp.float32
+    rng = np.random.default_rng(5)
+    data = rng.random((70, 300)).astype(np.float32) * 100
+    data[20:23, 120:140] = np.nan   # NaN patch
+    data[31:33, 40] = np.nan        # NaN on a tile seam row (th=32)
+    x = jnp.asarray(data)
+
+    refs = {
+        "slope": slope_jit(x, f32(2.0), f32(3.0)),
+        "aspect": aspect_jit(x),
+        "curvature": curvature_jit(x, f32(2.5)),
+        "hillshade": hillshade_jit(x, f32(225.0), f32(25.0)),
+    }
+    outs = surface_tiled(x, f32(2.0), f32(3.0), f32(225.0), f32(25.0),
+                         ("slope", "aspect", "curvature", "hillshade"),
+                         th=32, tw=128, interpret=True)
+    for name, got in zip(refs, outs):
+        ref = np.asarray(refs[name])
+        got = np.asarray(got)
+        assert np.array_equal(np.isnan(got), np.isnan(ref)), name
+        np.testing.assert_allclose(got, ref, rtol=1e-4, atol=5e-5,
+                                   err_msg=name, equal_nan=True)

@@ -159,17 +159,15 @@ import os
 
 
 def use_pallas_surface(data, which=("slope",)) -> bool:
-    """Pipelined Pallas stencils beat fused XLA on TPU at scale for the
-    cheap-epilogue products (slope 14.7 vs 19.4 ms, aspect 16.1 vs 19.3,
-    curvature 11.0 vs 13.5 at 16k^2); hillshade's sin/cos/atan chain runs
-    faster through XLA's fused transcendentals (24.9 vs 37.4 ms), so it
-    stays on the XLA path.  Small outputs hit XLA's whole-result-in-VMEM
-    quirk, so gate by size."""
+    """The classic-pipeline tiled Pallas stencil
+    (kernels/pallas_surface2.py) beats fused XLA on TPU at scale for
+    every product (16k^2 on a v5e: slope 6.5 vs 16.3 ms, hillshade ~6-7
+    vs 9.0 ms) — since its epilogues are transcendental-free, hillshade
+    rides it too (round 1 kept hillshade on XLA).  Small outputs hit
+    XLA's whole-result-in-VMEM quirk, so gate by size."""
     if os.environ.get("XRSPATIAL_NO_PALLAS") == "1":
         return False
     if jax.default_backend() != "tpu":
-        return False
-    if "hillshade" in which:
         return False
     return data.size >= (2048 * 2048)
 
@@ -177,20 +175,13 @@ def use_pallas_surface(data, which=("slope",)) -> bool:
 def surface_kernels(data, which, cellsize_x=1.0, cellsize_y=1.0,
                     azimuth=225.0, angle_altitude=25.0):
     """Compute the requested surface products, choosing the Pallas
-    streaming kernel on TPU at scale, else the fused-XLA path."""
+    tiled kernel on TPU at scale, else the fused-XLA path."""
     if use_pallas_surface(data, which):
-        from .pallas_surface import surface_pallas
-        if len(which) == 1:
-            out = surface_pallas(data, jnp.float32(cellsize_x),
-                                 jnp.float32(cellsize_y),
-                                 jnp.float32(azimuth),
-                                 jnp.float32(angle_altitude), tuple(which),
-                                 squeeze=True)
-            return {which[0]: out}
-        out = surface_pallas(data, jnp.float32(cellsize_x),
+        from .pallas_surface2 import surface_tiled
+        outs = surface_tiled(data, jnp.float32(cellsize_x),
                              jnp.float32(cellsize_y), jnp.float32(azimuth),
                              jnp.float32(angle_altitude), tuple(which))
-        return {name: out[k] for k, name in enumerate(which)}
+        return {name: outs[k] for k, name in enumerate(which)}
     return surface_multi(data, jnp.float32(cellsize_x),
                          jnp.float32(cellsize_y), jnp.float32(azimuth),
                          jnp.float32(angle_altitude), tuple(which))
