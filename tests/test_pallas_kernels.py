@@ -82,3 +82,49 @@ def test_surface_tiled_interpret_parity():
         assert np.array_equal(np.isnan(got), np.isnan(ref)), name
         np.testing.assert_allclose(got, ref, rtol=1e-4, atol=5e-5,
                                    err_msg=name, equal_nan=True)
+
+
+def test_focal_stats_tiled_interpret_parity():
+    """Classic-pipeline focal kernel vs the fused-XLA window_stats on CPU
+    (interpret mode): full assembly incl. row bands, column patches,
+    ragged shapes, and NaNs crossing tile seams."""
+    import jax.numpy as jnp
+    from xrspatial_tpu.kernels.pallas_window2 import focal_stats_tiled
+    from xrspatial_tpu.kernels.window import window_stats
+    rng = np.random.default_rng(9)
+    data = rng.random((70, 300)).astype(np.float32) * 50
+    data[30:34, 120:135] = np.nan
+    data[31:33, 128] = np.nan  # on the th=32 seam
+    x = jnp.asarray(data)
+    k = circle_kernel(1, 1, 1.5)
+    offsets = kernel_offsets(k)
+    stats = ("mean", "max", "min", "std", "sum", "var", "range")
+    ref = window_stats(x, offsets, stats)
+    got = focal_stats_tiled(x, offsets, stats, th=32, tw=128,
+                            interpret=True)
+    for i, s in enumerate(stats):
+        r = np.asarray(ref[s])
+        g = np.asarray(got[i])
+        assert np.array_equal(np.isnan(g), np.isnan(r)), s
+        np.testing.assert_allclose(g, r, rtol=1e-5, atol=1e-5,
+                                   err_msg=s, equal_nan=True)
+
+
+def test_focal_stats_tiled_interpret_radius2():
+    """Radius-2 window (5x5 circle): 2-row bands and 2-col patches."""
+    import jax.numpy as jnp
+    from xrspatial_tpu.kernels.pallas_window2 import focal_stats_tiled
+    from xrspatial_tpu.kernels.window import window_stats
+    rng = np.random.default_rng(10)
+    data = rng.random((64, 256)).astype(np.float32)
+    x = jnp.asarray(data)
+    k = circle_kernel(1, 1, 2.5)
+    offsets = kernel_offsets(k)
+    stats = ("mean", "std")
+    ref = window_stats(x, offsets, stats)
+    got = focal_stats_tiled(x, offsets, stats, th=16, tw=128,
+                            interpret=True)
+    for i, s in enumerate(stats):
+        np.testing.assert_allclose(np.asarray(got[i]), np.asarray(ref[s]),
+                                   rtol=1e-5, atol=1e-5, err_msg=s,
+                                   equal_nan=True)

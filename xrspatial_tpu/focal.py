@@ -109,9 +109,17 @@ def _stats_kernel(offsets: tuple, stats: tuple):
 @lru_cache(maxsize=256)
 def _stats_kernel_pallas(offsets: tuple, stats: tuple):
     from .kernels.pallas_window import focal_stats_pallas
-
-    def kern(block):
-        return focal_stats_pallas(block, offsets, stats)
+    from .kernels.pallas_window2 import (focal_stats_tiled,
+                                         tiled_radius_supported)
+    ry = max(abs(dy) for dy, _ in offsets)
+    rx = max(abs(dx) for _, dx in offsets)
+    if tiled_radius_supported(ry, rx):
+        # classic-pipeline tiled kernel: ~2x the emit_pipeline variant
+        def kern(block):
+            return focal_stats_tiled(block, offsets, stats)
+    else:
+        def kern(block):
+            return focal_stats_pallas(block, offsets, stats)
     return kern
 
 
