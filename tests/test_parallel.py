@@ -246,3 +246,26 @@ def test_run_stencil_warns_on_offmesh_fallback():
     kernel = np.ones((7, 7))                # radius 3 >= shard height 2
     with pytest.warns(UserWarning, match="executing REPLICATED"):
         convolution_2d(agg, kernel)
+
+
+def test_viewshed_warns_on_sharded_input():
+    from xrspatial_tpu import viewshed
+    mesh = make_raster_mesh(2, 2)
+    rng = np.random.default_rng(11)
+    data = (rng.random((16, 16)) * 10).astype(np.float32)
+    agg = create_test_raster(data)
+    agg.data = distribute(agg.data, mesh)
+    with pytest.warns(UserWarning, match="ONE device"):
+        viewshed(agg, x=float(agg['x'].data[8]), y=float(agg['y'].data[8]))
+
+
+def test_a_star_warns_on_sharded_input():
+    from xrspatial_tpu import a_star_search
+    mesh = make_raster_mesh(2, 2)
+    data = np.ones((16, 16), np.float32)
+    agg = create_test_raster(data)
+    agg.data = distribute(agg.data, mesh)
+    start = (float(agg['y'].data[1]), float(agg['x'].data[1]))
+    goal = (float(agg['y'].data[14]), float(agg['x'].data[14]))
+    with pytest.warns(UserWarning, match="gathered"):
+        a_star_search(agg, start, goal)

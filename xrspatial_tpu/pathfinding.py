@@ -188,6 +188,15 @@ def a_star_search(surface: DataArray,
     if not (0 <= goal_py < h and 0 <= goal_px < w):
         raise ValueError("goal location outside the surface graph.")
 
+    from .parallel.halo import get_raster_mesh
+    if get_raster_mesh(surface.data) is not None:
+        # A* is an inherently sequential frontier expansion (native C++
+        # heap, native/astar.cpp); the reference likewise has no dask
+        # path for pathfinding.
+        warnings.warn(
+            "a_star_search: input is mesh-sharded but the search runs on "
+            "the HOST over a gathered copy (correct, not distributed).",
+            UserWarning, stacklevel=2)
     data = np.asarray(surface.data)
     blocked = _not_crossable_mask(data, barriers)
 

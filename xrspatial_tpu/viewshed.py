@@ -14,11 +14,14 @@ vertical angle in degrees [0, 180] for visible cells (0 = straight up,
 
 from __future__ import annotations
 
+import warnings
+
 from typing import Union
 
 import numpy as np
 
 from .kernels.viewshed import viewshed_grid, viewshed_grid_los
+from .parallel.halo import get_raster_mesh
 from .utils import wrap_like, x64
 from .xrlib import DataArray
 
@@ -36,7 +39,8 @@ def viewshed(raster: DataArray,
              x: Union[int, float],
              y: Union[int, float],
              observer_elev: float = OBS_ELEV,
-             target_elev: float = TARGET_ELEV) -> DataArray:
+             target_elev: float = TARGET_ELEV,
+             exact: Union[bool, None] = None) -> DataArray:
     """Calculate the viewshed of `raster` for an observer at (x, y).
 
     Parameters
@@ -50,6 +54,11 @@ def viewshed(raster: DataArray,
     target_elev : float
         Height of hypothetical targets above the terrain; a cell is
         visible if a target at that height above it can be seen.
+    exact : bool, optional
+        ``True`` forces the exact pairwise GRASS predicate (O(N^2) work,
+        float64) at any size; ``False`` forces the XDraw octant-scan
+        approximation; ``None`` (default) selects by size
+        (exact up to 256x256 cells).
 
     Notes
     -----
@@ -61,6 +70,16 @@ def viewshed(raster: DataArray,
     exact predicate is asserted in tests/test_viewshed.py and recorded in
     PARITY.md.
     """
+    if get_raster_mesh(raster.data) is not None:
+        # The octant scans are whole-array sequential in the scan
+        # dimension (kernels/viewshed.py), so the wavefront cannot ride a
+        # 2D mesh decomposition; the reference has the same single-node
+        # restriction (viewshed has no dask path).
+        warnings.warn(
+            "viewshed: input is mesh-sharded but the wavefront scans run "
+            "on ONE device (correct, not distributed); the raster is "
+            "gathered before the sweep.", UserWarning, stacklevel=2)
+
     y_coords = np.asarray(raster['y'].data)
     x_coords = np.asarray(raster['x'].data)
 
@@ -79,7 +98,9 @@ def viewshed(raster: DataArray,
     # keep the raster on device: np.asarray here would round-trip the
     # whole array through the host (a 64 MB fetch costs ~1 s through the
     # device tunnel; the kernels jnp.asarray their input themselves)
-    if height * width <= _EXACT_MAX_CELLS:
+    use_exact = (height * width <= _EXACT_MAX_CELLS
+                 if exact is None else bool(exact))
+    if use_exact:
         with x64():
             out = viewshed_grid(raster.data, y_view, x_view, observer_elev,
                                 target_elev, ew_res, ns_res)
