@@ -110,6 +110,14 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    try:
+        # persistent executable cache works through the axon tunnel and
+        # across processes; repeat runs skip the 20-40 s first compiles
+        jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
     from xrspatial_tpu import hillshade, slope
     from xrspatial_tpu.xrlib import DataArray
 

@@ -1,0 +1,260 @@
+"""Pallas TPU jump-flood rounds: proximity at memory speed.
+
+Round-2 redesign of the JFA inner loop (VERDICT r1 #2).  The XLA scan
+formulation (kernels/jfa.py) materializes every shifted candidate field
+through HBM — ~45 ms per round at 4096^2, 0.66 s total.  Here each round
+is ONE Pallas program and the 8 neighbor candidates are sliced out of
+VMEM, so a round costs roughly one read + one write of the carried
+state.  Two kernels cover the whole power-of-two stride schedule with
+ONE compilation each (compile time through the remote-compile service
+dominates multi-program designs):
+
+- `small` (stride <= 128): emit_pipeline halo windows with a FIXED
+  128-cell halo; the stride is a dynamic SMEM scalar sliced inside VMEM,
+  so every stride 1..128 reuses one binary.  Runs under lax.scan.
+- `large` (stride = m*256): classic-pipeline tile jumps; the 8 neighbor
+  tiles are separate block inputs whose index maps read the jump `m`
+  from a scalar-prefetch argument (PrefetchScalarGridSpec), so every
+  m reuses one binary.  Block indices clamp at the grid edge.
+
+Correctness around the edges uses a RELAY argument instead of masks:
+the state is padded by one full tile (256) of +inf target coordinates,
+and every value ever written is selected from existing state values —
+i.e. real target coordinates or inf.  Pad cells may adopt targets and
+relay them inward (candidate distances are always evaluated against the
+READING cell's own coordinates, so a relayed target is just another
+valid candidate); clamped windows/blocks at the pad border therefore
+produce valid-if-arbitrary relays, never garbage.  Interior cells see
+exactly the XLA formulation's semantics, and exactness is enforced by
+the same JFA+2 cleanup schedule and brute-force parity tests.
+
+Reference counterpart: the GDAL-ported 4-sweep scan
+(xrspatial proximity.py:442-601); metrics proximity.py:38-219.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+__all__ = ["jfa_rounds_pallas", "use_pallas_jfa"]
+
+T = 256           # tile edge (both axes)
+H0 = 128          # small-kernel halo = max dynamic stride
+
+
+def use_pallas_jfa(h, w, metric) -> bool:
+    import os
+    if os.environ.get("XRSPATIAL_NO_PALLAS") == "1":
+        return False
+    if jax.default_backend() != "tpu":
+        return False
+    return min(h, w) >= 512
+
+
+def _key(px, ctx, py, cty, metric: int):
+    """Monotone candidate key (kernels/jfa.py::_metric_key), with inf
+    for inf-coordinate (no-target / pad) candidates."""
+    from .jfa import _metric_key
+    d = _metric_key(px, ctx, py, cty, metric)
+    return jnp.where(jnp.isfinite(ctx), d, jnp.float32(jnp.inf))
+
+
+def _select(best, S, cand, px, py, metric):
+    nd = _key(px, cand[0], py, cand[1], metric)
+    better = nd < best
+    S = [jnp.where(better, c, s) for s, c in zip(S, cand)]
+    return jnp.where(better, nd, best), S
+
+
+def _round_up(x, m):
+    return -(-x // m) * m
+
+
+@partial(jax.jit, static_argnames=("ks", "C", "metric"))
+def _multi_round_small(state, px, py, ks, C, metric):
+    """Several small-stride rounds fused into ONE kernel via overlapped
+    tiling: the window carries halo H = sum(ks); each round shrinks the
+    valid region by its stride, so round r+1 reads halo cells that round
+    r updated in-VMEM — exactly the global round sequence.  Every slice
+    is static (Mosaic rejects dynamic unaligned VMEM slices), and window
+    starts are written as 8*(...)/128*(...) so alignment is syntactically
+    provable.  ks is fixed by the stride schedule ([128,64,32] and
+    [16,8,4,2,1,2,1]), so this compiles exactly twice per (C, metric).
+    """
+    HP, WP = px.shape
+    H = sum(ks)
+    Hs = _round_up(H, 8)
+    Hl = _round_up(H, 128)
+    Sy, Sx = T + 2 * Hs, T + 2 * Hl
+    gi, gj = HP // T, WP // T
+
+    def ystart(i):
+        return 8 * jnp.clip(i * (T // 8) - Hs // 8, 0, (HP - Sy) // 8)
+
+    def xstart(j):
+        return 128 * jnp.clip(j * (T // 128) - Hl // 128, 0,
+                              (WP - Sx) // 128)
+
+    def outer(*hbm_refs):
+        def inner(*refs):
+            wins = [r[...] for r in refs[:C]]
+            pxw = refs[C][...]
+            pyw = refs[C + 1][...]
+            outs = refs[C + 2:]
+            # normalize the halo to exactly H on all sides
+            oy, ox = Hs - H, Hl - H
+            sz = T + 2 * H
+            cur = [a[oy:oy + sz, ox:ox + sz] for a in wins]
+            pxc = pxw[oy:oy + sz, ox:ox + sz]
+            pyc = pyw[oy:oy + sz, ox:ox + sz]
+            best = _key(pxc, cur[0], pyc, cur[1], metric)
+            r = H
+            for k in ks:
+                sz = T + 2 * (r - k)
+                own = [a[k:k + sz, k:k + sz] for a in cur]
+                nb = best[k:k + sz, k:k + sz]
+                pxn = pxc[k:k + sz, k:k + sz]
+                pyn = pyc[k:k + sz, k:k + sz]
+                for sy in (-1, 0, 1):
+                    for sx in (-1, 0, 1):
+                        if sy == 0 and sx == 0:
+                            continue
+                        cand = [a[k + sy * k:k + sy * k + sz,
+                                  k + sx * k:k + sx * k + sz] for a in cur]
+                        nb, own = _select(nb, own, cand, pxn, pyn, metric)
+                cur, best, pxc, pyc, r = own, nb, pxn, pyn, r - k
+            for o, v in zip(outs, cur):
+                o[...] = v
+
+        # Output tiles are grid-aligned and disjoint (full coverage of the
+        # padded array).  Windows clamp at the edges; only the outermost
+        # pure-pad tiles clamp (pad = one full tile >= Hs), producing
+        # valid relay values (module docstring).
+        win_spec = pl.BlockSpec(
+            (pl.BoundedSlice(Sy), pl.BoundedSlice(Sx)),
+            lambda i, j: (pl.ds(ystart(i), Sy), pl.ds(xstart(j), Sx)))
+        out_spec = pl.BlockSpec((T, T), lambda i, j: (i, j))
+        pltpu.emit_pipeline(
+            inner,
+            grid=(gi, gj),
+            in_specs=[win_spec] * (C + 2),
+            out_specs=[out_spec] * C,
+        )(*hbm_refs)
+
+    anyspec = pl.BlockSpec(memory_space=pl.ANY)
+    outs = pl.pallas_call(
+        outer,
+        in_specs=[anyspec] * (C + 2),
+        out_specs=[anyspec] * C,
+        out_shape=[jax.ShapeDtypeStruct((HP, WP), jnp.float32)] * C,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+    )(*state, px, py)
+    return list(outs) if C > 1 else [outs]
+
+
+@partial(jax.jit, static_argnames=("C", "metric"))
+def _large_round(m, state, px, py, C, metric):
+    HP, WP = px.shape
+    gi, gj = HP // T, WP // T
+    offs = [(sy, sx) for sy in (-1, 0, 1) for sx in (-1, 0, 1)]
+
+    def view_spec(sy, sx):
+        return pl.BlockSpec(
+            (T, T),
+            lambda i, j, m_ref: (jnp.clip(i + sy * m_ref[0], 0, gi - 1),
+                                 jnp.clip(j + sx * m_ref[0], 0, gj - 1)),
+            memory_space=pltpu.VMEM)
+
+    def kernel(m_ref, *refs):
+        # refs: 9 views per channel (offset-major), px, py, C outs
+        views = refs[:9 * C]
+        px_t = refs[9 * C][...]
+        py_t = refs[9 * C + 1][...]
+        outs = refs[9 * C + 2:]
+        own_i = offs.index((0, 0))
+        cur = [views[own_i * C + c][...] for c in range(C)]
+        best = _key(px_t, cur[0], py_t, cur[1], metric)
+        for oi, (sy, sx) in enumerate(offs):
+            if sy == 0 and sx == 0:
+                continue
+            cand = [views[oi * C + c][...] for c in range(C)]
+            best, cur = _select(best, cur, cand, px_t, py_t, metric)
+        for o, v in zip(outs, cur):
+            o[...] = v
+
+    in_specs = []
+    for sy, sx in offs:
+        in_specs += [view_spec(sy, sx)] * C
+    tile = pl.BlockSpec((T, T), lambda i, j, m_ref: (i, j),
+                        memory_space=pltpu.VMEM)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(gi, gj),
+        in_specs=in_specs + [tile, tile],
+        out_specs=[tile] * C,
+    )
+    ins = []
+    for _ in offs:
+        ins += list(state)
+    outs = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[jax.ShapeDtypeStruct((HP, WP), jnp.float32)] * C,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+            vmem_limit_bytes=64 * 1024 * 1024),
+    )(jnp.full((1,), m, jnp.int32), *ins, px, py)
+    return list(outs)
+
+
+@partial(jax.jit, static_argnames=("strides", "metric", "with_val"))
+def jfa_rounds_pallas(tx_w, ty_w, tval, px, py, strides, metric, with_val):
+    """Run the full JFA stride schedule with Pallas rounds.
+
+    Inputs are the unpadded (h, w) arrays of kernels/jfa.py::jump_flood;
+    returns (tx, ty, tval_or_None, best_key) — the same contract as
+    _jfa_rounds (the caller finalizes the metric).
+    """
+    h, w = tx_w.shape
+    hp = -(-h // T) * T
+    wp = -(-w // T) * T
+    pads = ((T, T + hp - h), (T, T + wp - w))
+    inf = jnp.float32(jnp.inf)
+    state = [jnp.pad(tx_w, pads, constant_values=inf),
+             jnp.pad(ty_w, pads, constant_values=inf)]
+    C = 2
+    if with_val:
+        state.append(jnp.pad(tval, pads, constant_values=0.0))
+        C = 3
+    pxp = jnp.pad(px, pads, mode="edge")
+    pyp = jnp.pad(py, pads, mode="edge")
+
+    large = [k // T for k in strides if k >= T]
+    small = [k for k in strides if k < T]
+
+    if large:
+        def big_body(st, m):
+            return tuple(_large_round(m, list(st), pxp, pyp, C, metric)), None
+        st, _ = jax.lax.scan(big_body, tuple(state),
+                             jnp.asarray(large, jnp.int32))
+        state = list(st)
+    if small:
+        group1 = tuple(k for k in small if k >= 32)
+        group2 = tuple(k for k in small if k < 32)
+        if group1:
+            state = _multi_round_small(state, pxp, pyp, group1, C, metric)
+        if group2:
+            state = _multi_round_small(state, pxp, pyp, group2, C, metric)
+
+    crop = lambda a: a[T:T + h, T:T + w]  # noqa: E731
+    tx, ty = crop(state[0]), crop(state[1])
+    tv = crop(state[2]) if with_val else None
+    best = _key(px, tx, py, ty, metric)
+    return tx, ty, tv, best
