@@ -52,10 +52,11 @@ def make_terrain(n, seed):
 def main():
     from xrspatial_tpu.kernels.viewshed import viewshed_grid, viewshed_grid_los
     from xrspatial_tpu.utils import x64
+    seeds = [int(s) for s in os.environ.get("VS_SEEDS", "3,7").split(",")]
     sizes = [int(s) for s in (sys.argv[1:] or ["512"])]
     for n in sizes:
         aggs = []
-        for seed in (3, 7):
+        for seed in seeds:
             data = make_terrain(n, seed)
             vr, vc = n // 3, (2 * n) // 3
             t0 = time.time()
