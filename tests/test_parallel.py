@@ -269,3 +269,24 @@ def test_a_star_warns_on_sharded_input():
     goal = (float(agg['y'].data[14]), float(agg['x'].data[14]))
     with pytest.warns(UserWarning, match="gathered"):
         a_star_search(agg, start, goal)
+
+
+def test_viewshed_sharded_xdraw_parity(mesh):
+    # the 4 octant scans distribute over the mesh (lax.switch + pmax);
+    # results must match the single-device XDraw bit-for-bit
+    from xrspatial_tpu import viewshed
+    rng = np.random.default_rng(12)
+    data = (rng.random((64, 64)) * 80).astype(np.float32)
+    ref_agg = create_test_raster(data)
+    x0 = float(ref_agg['x'].data[20])
+    y0 = float(ref_agg['y'].data[40])
+    ref = np.asarray(viewshed(ref_agg, x=x0, y=y0, observer_elev=5.0,
+                              exact=False).data)
+    agg = create_test_raster(data)
+    agg.data = distribute(agg.data, mesh)
+    out = np.asarray(viewshed(agg, x=x0, y=y0, observer_elev=5.0,
+                              exact=False).data)
+    # visibility decisions identical; angles may differ in the last ulp
+    # (different XLA fusion between the two programs)
+    np.testing.assert_array_equal(out == -1, ref == -1)
+    np.testing.assert_allclose(out, ref, rtol=1e-5)

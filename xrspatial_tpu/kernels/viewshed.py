@@ -417,9 +417,10 @@ def _halfplane_scan(s_T, dy_vec, vp_minor, n_major):
     return out
 
 
-@partial(jax.jit, static_argnames=("shape",))
-def _viewshed_xdraw_scan_impl(data, vp_row, vp_col, observer_elev,
-                              target_elev, ew_res, ns_res, shape):
+def _xdraw_fields(data, vp_row, vp_col, observer_elev, target_elev,
+                  ew_res, ns_res, shape):
+    """Shared prologue of the octant-scan paths: per-cell slopes and
+    viewpoint-relative geometry."""
     h, w = shape
     rows = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0).astype(jnp.float32)
     cols = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1).astype(jnp.float32)
@@ -429,8 +430,6 @@ def _viewshed_xdraw_scan_impl(data, vp_row, vp_col, observer_elev,
 
     dy = rows - vp_r
     dx = cols - vp_c
-    ady = jnp.abs(dy)
-    adx = jnp.abs(dx)
     wx = dx * ew_res
     wy = dy * ns_res
     dist_w = jnp.sqrt(wx * wx + wy * wy)
@@ -440,22 +439,73 @@ def _viewshed_xdraw_scan_impl(data, vp_row, vp_col, observer_elev,
     slope_tgt = jnp.where(
         dist_w > 0,
         (data + target_elev - vp_elev) / safe_d, jnp.inf)
-
     dy_vec = (jnp.arange(h, dtype=jnp.float32) - vp_r)
     dx_vec = (jnp.arange(w, dtype=jnp.float32) - vp_c)
+    return (dy, dx, safe_d, slope_self, slope_tgt, dy_vec, dx_vec, vp_elev)
 
-    s_T = jnp.swapaxes(slope_self, 0, 1)       # (W, H)
-    m_e = jnp.swapaxes(_halfplane_scan(s_T, dy_vec, vp_col, w), 0, 1)
-    m_w = jnp.swapaxes(
+
+def _xdraw_scan_e(slope_self, dy_vec, dx_vec, vp_row, vp_col):
+    w = dx_vec.shape[0]
+    s_T = jnp.swapaxes(slope_self, 0, 1)
+    return jnp.swapaxes(_halfplane_scan(s_T, dy_vec, vp_col, w), 0, 1)
+
+
+def _xdraw_scan_w(slope_self, dy_vec, dx_vec, vp_row, vp_col):
+    w = dx_vec.shape[0]
+    s_T = jnp.swapaxes(slope_self, 0, 1)
+    return jnp.swapaxes(
         _halfplane_scan(s_T[::-1], dy_vec, w - 1 - vp_col, w), 0, 1)[:, ::-1]
-    m_s = _halfplane_scan(slope_self, dx_vec, vp_row, h)
-    m_n = _halfplane_scan(slope_self[::-1], dx_vec, h - 1 - vp_row,
-                          h)[::-1]
+
+
+def _xdraw_scan_s(slope_self, dy_vec, dx_vec, vp_row, vp_col):
+    h = dy_vec.shape[0]
+    return _halfplane_scan(slope_self, dx_vec, vp_row, h)
+
+
+def _xdraw_scan_n(slope_self, dy_vec, dx_vec, vp_row, vp_col):
+    h = dy_vec.shape[0]
+    return _halfplane_scan(slope_self[::-1], dx_vec, h - 1 - vp_row, h)[::-1]
+
+
+_XDRAW_SCANS = (_xdraw_scan_e, _xdraw_scan_w, _xdraw_scan_s, _xdraw_scan_n)
+
+
+def _xdraw_octant_masks(dy, dx):
+    """Disjoint cell->scan assignment matching the combine select."""
+    ady = jnp.abs(dy)
+    adx = jnp.abs(dx)
+    x_dom = adx >= ady
+    return (x_dom & (dx >= 0), x_dom & (dx < 0),
+            ~x_dom & (dy >= 0), ~x_dom & (dy < 0))
+
+
+@partial(jax.jit, static_argnames=("shape",))
+def _viewshed_xdraw_scan_impl(data, vp_row, vp_col, observer_elev,
+                              target_elev, ew_res, ns_res, shape):
+    h, w = shape
+    (dy, dx, safe_d, slope_self, slope_tgt, dy_vec, dx_vec,
+     vp_elev) = _xdraw_fields(data, vp_row, vp_col, observer_elev,
+                              target_elev, ew_res, ns_res, shape)
+    ady = jnp.abs(dy)
+    adx = jnp.abs(dx)
+
+    m_e, m_w, m_s, m_n = (f(slope_self, dy_vec, dx_vec, vp_row, vp_col)
+                          for f in _XDRAW_SCANS)
 
     x_dom = adx >= ady
     m = jnp.where(x_dom, jnp.where(dx >= 0, m_e, m_w),
                   jnp.where(dy >= 0, m_s, m_n))
 
+    return _xdraw_epilogue(m, data, dy, dx, safe_d, slope_tgt, vp_elev,
+                           target_elev, shape)
+
+
+def _xdraw_epilogue(m, data, dy, dx, safe_d, slope_tgt, vp_elev,
+                    target_elev, shape):
+    """Combined max-slope field -> visibility + vertical angles."""
+    h, w = shape
+    ady = jnp.abs(dy)
+    adx = jnp.abs(dx)
     # inward max (excluding the cell itself): same interpolation as the
     # ring version's final pass
     sy = jnp.sign(dy)
@@ -499,7 +549,7 @@ def _viewshed_xdraw_scan_impl(data, vp_row, vp_col, observer_elev,
                   jnp.arctan(jnp.abs(diff) / safe_d) * 180.0 / PI + 90.0))
     out = jnp.where(visible, vert, float(INVISIBLE))
     out = jnp.where(jnp.isnan(data), float(INVISIBLE), out)
-    is_vp = (rows == vp_r) & (cols == vp_c)
+    is_vp = (dy == 0.0) & (dx == 0.0)
     return jnp.where(is_vp, 180.0, out)
 
 
@@ -512,3 +562,52 @@ def viewshed_grid_los(data, vp_row: int, vp_col: int, observer_elev: float,
         data, jnp.int32(vp_row), jnp.int32(vp_col),
         jnp.float32(observer_elev), jnp.float32(target_elev),
         jnp.float32(ew_res), jnp.float32(ns_res), data.shape)
+
+
+def viewshed_grid_los_sharded(data, mesh, vp_row: int, vp_col: int,
+                              observer_elev: float, target_elev: float,
+                              ew_res: float, ns_res: float):
+    """Mesh-distributed XDraw: each device runs ONE masked octant scan and
+    a `pmax` over the mesh combines them (lax.switch picks the scan by the
+    device's flattened index; with more than 4 devices scans duplicate —
+    the max combine is idempotent).  Work per device drops ~4x; memory is
+    replicated (each scan needs the full raster, exactly like the
+    reference's single-node sweep).
+    """
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    data = jnp.asarray(data, dtype=jnp.float32)
+    shape = data.shape
+    n_x = mesh.shape["x"]
+
+    @partial(shard_map, mesh=mesh, in_specs=(P(), P(), P()),
+             out_specs=P(), check_rep=False)
+    def run(data_rep, vp_r, vp_c):
+        vp_r = vp_r[0]
+        vp_c = vp_c[0]
+        (dy, dx, safe_d, slope_self, slope_tgt, dy_vec, dx_vec,
+         vp_elev) = _xdraw_fields(data_rep, vp_r, vp_c,
+                                  jnp.float32(observer_elev),
+                                  jnp.float32(target_elev),
+                                  jnp.float32(ew_res), jnp.float32(ns_res),
+                                  shape)
+        masks = _xdraw_octant_masks(dy, dx)
+        dev = jax.lax.axis_index("y") * n_x + jax.lax.axis_index("x")
+
+        def branch(i):
+            def f(_):
+                mi = _XDRAW_SCANS[i](slope_self, dy_vec, dx_vec, vp_r, vp_c)
+                return jnp.where(masks[i], mi, -jnp.inf)
+            return f
+
+        m_part = jax.lax.switch(dev % 4, [branch(i) for i in range(4)],
+                                None)
+        m = jax.lax.pmax(m_part, ("y", "x"))
+        return _xdraw_epilogue(m, data_rep, dy, dx, safe_d, slope_tgt,
+                               vp_elev, jnp.float32(target_elev), shape)
+
+    rep = jax.lax.with_sharding_constraint(
+        data, jax.sharding.NamedSharding(mesh, P()))
+    return run(rep, jnp.full((1,), vp_row, jnp.int32),
+               jnp.full((1,), vp_col, jnp.int32))

@@ -20,7 +20,8 @@ from typing import Union
 
 import numpy as np
 
-from .kernels.viewshed import viewshed_grid, viewshed_grid_los
+from .kernels.viewshed import (viewshed_grid, viewshed_grid_los,
+                               viewshed_grid_los_sharded)
 from .parallel.halo import get_raster_mesh
 from .utils import wrap_like, x64
 from .xrlib import DataArray
@@ -70,15 +71,7 @@ def viewshed(raster: DataArray,
     exact predicate is asserted in tests/test_viewshed.py and recorded in
     PARITY.md.
     """
-    if get_raster_mesh(raster.data) is not None:
-        # The octant scans are whole-array sequential in the scan
-        # dimension (kernels/viewshed.py), so the wavefront cannot ride a
-        # 2D mesh decomposition; the reference has the same single-node
-        # restriction (viewshed has no dask path).
-        warnings.warn(
-            "viewshed: input is mesh-sharded but the wavefront scans run "
-            "on ONE device (correct, not distributed); the raster is "
-            "gathered before the sweep.", UserWarning, stacklevel=2)
+    mesh = get_raster_mesh(raster.data)
 
     y_coords = np.asarray(raster['y'].data)
     x_coords = np.asarray(raster['x'].data)
@@ -101,9 +94,22 @@ def viewshed(raster: DataArray,
     use_exact = (height * width <= _EXACT_MAX_CELLS
                  if exact is None else bool(exact))
     if use_exact:
+        if mesh is not None:
+            # the pairwise predicate gathers (no distributed formulation)
+            warnings.warn(
+                "viewshed(exact): input is mesh-sharded but the pairwise "
+                "predicate runs on ONE device (correct, not distributed).",
+                UserWarning, stacklevel=2)
         with x64():
             out = viewshed_grid(raster.data, y_view, x_view, observer_elev,
                                 target_elev, ew_res, ns_res)
+    elif mesh is not None:
+        # distributed XDraw: the 4 octant scans spread over the mesh
+        # (work /4; the raster itself is replicated per device — each
+        # scan is whole-array sequential in its scan dimension)
+        out = viewshed_grid_los_sharded(
+            raster.data, mesh, y_view, x_view, observer_elev,
+            target_elev, ew_res, ns_res)
     else:
         # large rasters: O(N * max_dim) batched line-of-sight (float32);
         # geometrically equivalent, may differ from the sweep at near-tie
