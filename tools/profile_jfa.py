@@ -47,23 +47,26 @@ def main():
     py = jnp.asarray(rows.astype(np.float32))
     state = [tx, ty]
 
-    # one large round (m=8)
-    timeit("large m=8 x1", lambda: pj._large_round(8, state, px, py, 2, 0))
+    # one large round
+    timeit("large m=4 x1", lambda: pj._large_round(4, state, px, py, 2, 0))
 
-    # the 4-round large scan as used in jfa_rounds_pallas
+    # the large-round scan as used in jfa_rounds_pallas
+    ms = [k // pj.T for k in (4096, 2048, 1024, 512) if k >= pj.T]
+
     def big_scan():
         def body(st, m):
             return tuple(pj._large_round(m, list(st), px, py, 2, 0)), None
         st, _ = jax.lax.scan(body, tuple(state),
-                             jnp.asarray([8, 4, 2, 1], jnp.int32))
+                             jnp.asarray(ms, jnp.int32))
         return list(st)
-    timeit("large scan x4", big_scan)
+    timeit(f"large scan x{len(ms)}", big_scan)
 
-    # small groups
-    timeit("small (128,64,32)", lambda: pj._multi_round_small(
-        state, px, py, (128, 64, 32), 2, 0))
-    timeit("small (16,8,4,2,1,2,1)", lambda: pj._multi_round_small(
-        state, px, py, (16, 8, 4, 2, 1, 2, 1), 2, 0))
+    # small groups (mirror the greedy split for the 4096 schedule)
+    for g in [(256,), (128, 64, 32), (16, 8, 4, 2, 1, 2, 1)]:
+        if g[0] >= pj.T:
+            continue
+        timeit(f"small {g}", lambda g=g: pj._multi_round_small(
+            state, px, py, g, 2, 0))
 
 
 if __name__ == "__main__":

@@ -9,16 +9,17 @@ state.  Two kernels cover the whole power-of-two stride schedule with
 ONE compilation each (compile time through the remote-compile service
 dominates multi-program designs):
 
-- `small` (stride <= 128): emit_pipeline halo windows with a FIXED
-  128-cell halo; the stride is a dynamic SMEM scalar sliced inside VMEM,
-  so every stride 1..128 reuses one binary.  Runs under lax.scan.
-- `large` (stride = m*256): classic-pipeline tile jumps; the 8 neighbor
+- `small` (stride < T): several consecutive rounds fuse into ONE
+  emit_pipeline kernel via overlapped halo windows (halo = sum of the
+  group's strides, greedily capped); round r+1 reads cells round r
+  updated in-VMEM, so a whole group costs one read+write of the state.
+- `large` (stride = m*T): classic-pipeline tile jumps; the 8 neighbor
   tiles are separate block inputs whose index maps read the jump `m`
   from a scalar-prefetch argument (PrefetchScalarGridSpec), so every
   m reuses one binary.  Block indices clamp at the grid edge.
 
 Correctness around the edges uses a RELAY argument instead of masks:
-the state is padded by one full tile (256) of +inf target coordinates,
+the state is padded by one full tile (T) of +inf target coordinates,
 and every value ever written is selected from existing state values —
 i.e. real target coordinates or inf.  Pad cells may adopt targets and
 relay them inward (candidate distances are always evaluated against the
@@ -44,8 +45,13 @@ from jax.experimental.pallas import tpu as pltpu
 
 __all__ = ["jfa_rounds_pallas", "use_pallas_jfa"]
 
-T = 256           # tile edge (both axes)
-H0 = 128          # small-kernel halo = max dynamic stride
+T = 256           # large-round block edge (and pad width)
+TS = 256          # small-kernel output tile (windowed emit_pipeline)
+# Measured at 4096^2 (tools/profile_jfa.py): a large round costs ~26 ms
+# for EITHER block size (256 or 512) — the tile-jump rounds are not
+# DMA-setup bound — while the windowed single-round [256] group (32 ms)
+# loses to the m=1 tile-jump round (27 ms), so 256/256 is the best of
+# the configurations tried.
 
 
 def use_pallas_jfa(h, w, metric) -> bool:
@@ -84,21 +90,21 @@ def _multi_round_small(state, px, py, ks, C, metric):
     r updated in-VMEM — exactly the global round sequence.  Every slice
     is static (Mosaic rejects dynamic unaligned VMEM slices), and window
     starts are written as 8*(...)/128*(...) so alignment is syntactically
-    provable.  ks is fixed by the stride schedule ([128,64,32] and
-    [16,8,4,2,1,2,1]), so this compiles exactly twice per (C, metric).
+    provable.  ks groups come from the greedy halo-budget split in
+    jfa_rounds_pallas, so only a few groups compile per (C, metric).
     """
     HP, WP = px.shape
     H = sum(ks)
     Hs = _round_up(H, 8)
     Hl = _round_up(H, 128)
-    Sy, Sx = T + 2 * Hs, T + 2 * Hl
-    gi, gj = HP // T, WP // T
+    Sy, Sx = TS + 2 * Hs, TS + 2 * Hl
+    gi, gj = HP // TS, WP // TS
 
     def ystart(i):
-        return 8 * jnp.clip(i * (T // 8) - Hs // 8, 0, (HP - Sy) // 8)
+        return 8 * jnp.clip(i * (TS // 8) - Hs // 8, 0, (HP - Sy) // 8)
 
     def xstart(j):
-        return 128 * jnp.clip(j * (T // 128) - Hl // 128, 0,
+        return 128 * jnp.clip(j * (TS // 128) - Hl // 128, 0,
                               (WP - Sx) // 128)
 
     def outer(*hbm_refs):
@@ -109,14 +115,14 @@ def _multi_round_small(state, px, py, ks, C, metric):
             outs = refs[C + 2:]
             # normalize the halo to exactly H on all sides
             oy, ox = Hs - H, Hl - H
-            sz = T + 2 * H
+            sz = TS + 2 * H
             cur = [a[oy:oy + sz, ox:ox + sz] for a in wins]
             pxc = pxw[oy:oy + sz, ox:ox + sz]
             pyc = pyw[oy:oy + sz, ox:ox + sz]
             best = _key(pxc, cur[0], pyc, cur[1], metric)
             r = H
             for k in ks:
-                sz = T + 2 * (r - k)
+                sz = TS + 2 * (r - k)
                 own = [a[k:k + sz, k:k + sz] for a in cur]
                 nb = best[k:k + sz, k:k + sz]
                 pxn = pxc[k:k + sz, k:k + sz]
@@ -139,7 +145,7 @@ def _multi_round_small(state, px, py, ks, C, metric):
         win_spec = pl.BlockSpec(
             (pl.BoundedSlice(Sy), pl.BoundedSlice(Sx)),
             lambda i, j: (pl.ds(ystart(i), Sy), pl.ds(xstart(j), Sx)))
-        out_spec = pl.BlockSpec((T, T), lambda i, j: (i, j))
+        out_spec = pl.BlockSpec((TS, TS), lambda i, j: (i, j))
         pltpu.emit_pipeline(
             inner,
             grid=(gi, gj),
@@ -246,12 +252,18 @@ def jfa_rounds_pallas(tx_w, ty_w, tval, px, py, strides, metric, with_val):
                              jnp.asarray(large, jnp.int32))
         state = list(st)
     if small:
-        group1 = tuple(k for k in small if k >= 32)
-        group2 = tuple(k for k in small if k < 32)
-        if group1:
-            state = _multi_round_small(state, pxp, pyp, group1, C, metric)
-        if group2:
-            state = _multi_round_small(state, pxp, pyp, group2, C, metric)
+        # greedy split: fuse consecutive rounds until the carried halo
+        # (sum of strides) hits the VMEM window budget
+        groups, cur, acc = [], [], 0
+        for k in small:
+            if cur and acc + k > 256:
+                groups.append(tuple(cur))
+                cur, acc = [], 0
+            cur.append(k)
+            acc += k
+        groups.append(tuple(cur))
+        for g in groups:
+            state = _multi_round_small(state, pxp, pyp, g, C, metric)
 
     crop = lambda a: a[T:T + h, T:T + w]  # noqa: E731
     tx, ty = crop(state[0]), crop(state[1])
