@@ -40,11 +40,8 @@ def main():
     tx = jnp.asarray(img)
     ty = jnp.asarray(np.where(np.isfinite(img),
                               ys.mean().astype(np.float32), np.inf))
-    cols = np.broadcast_to(np.arange(wp, dtype=np.float32), (hp, wp))
-    rows = np.broadcast_to(np.arange(hp, dtype=np.float32)[:, None],
-                           (hp, wp))
-    px = jnp.asarray(cols.astype(np.float32))
-    py = jnp.asarray(rows.astype(np.float32))
+    px = jnp.arange(wp, dtype=jnp.float32).reshape(1, -1)
+    py = jnp.arange(hp, dtype=jnp.float32).reshape(-1, 1)
     state = [tx, ty]
 
     # one large round

@@ -96,10 +96,8 @@ def _jfa_rounds(tx_w, ty_w, tval, xs, ys, strides, metric, shape):
     on TPU) or per-stride pads (graph blow-up).
     """
     h, w = shape
-    rows = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
-    cols = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
-    px = xs[cols]   # one-time setup gathers of 1-D coords (cheap, cached)
-    py = ys[rows]
+    px = jnp.broadcast_to(xs[None, :], (h, w))
+    py = jnp.broadcast_to(ys[:, None], (h, w))
 
     inf = jnp.float32(jnp.inf)
 
@@ -188,10 +186,8 @@ def jump_flood(target_mask, xs, ys, metric: int, values=None):
     h, w = target_mask.shape
     xs = xs.astype(jnp.float32)
     ys = ys.astype(jnp.float32)
-    rows = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
-    cols = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
-    px = xs[cols]
-    py = ys[rows]
+    px = jnp.broadcast_to(xs[None, :], (h, w))
+    py = jnp.broadcast_to(ys[:, None], (h, w))
     inf = jnp.float32(jnp.inf)
     tx_w = jnp.where(target_mask, px, inf)
     ty_w = jnp.where(target_mask, py, inf)
@@ -204,9 +200,9 @@ def jump_flood(target_mask, xs, ys, metric: int, values=None):
     from .pallas_jfa import jfa_rounds_pallas, use_pallas_jfa
     if use_pallas_jfa(h, w, metric):
         # Pallas rounds: candidates sliced in VMEM instead of shifted
-        # through HBM — ~20x per-round speedup at 4096^2 (VERDICT r1 #2)
+        # through HBM (VERDICT r1 #2); coordinates ride as 1-D vectors
         tx_w, ty_w, tval, best = jfa_rounds_pallas(
-            tx_w, ty_w, tval if tval is not None else tx_w, px, py,
+            tx_w, ty_w, tval if tval is not None else tx_w, xs, ys,
             strides, metric, values is not None)
         return _metric_finalize(best, metric), tx_w, ty_w, tval
 

@@ -60,6 +60,14 @@ def use_pallas_jfa(h, w, metric) -> bool:
         return False
     if jax.default_backend() != "tpu":
         return False
+    from .jfa import GREAT_CIRCLE
+    if metric == GREAT_CIRCLE and \
+            os.environ.get("XRSPATIAL_PALLAS_GREAT_CIRCLE") != "1":
+        # validated exact, but the trig-heavy unrolled selects take ~26
+        # MINUTES to compile through Mosaic (vs ~1 min for the other
+        # metrics); the XLA scan path compiles fast and runs ~0.7 s at
+        # 4096^2 — the better default until the compile cost drops
+        return False
     return min(h, w) >= 512
 
 
@@ -83,7 +91,7 @@ def _round_up(x, m):
 
 
 @partial(jax.jit, static_argnames=("ks", "C", "metric"))
-def _multi_round_small(state, px, py, ks, C, metric):
+def _multi_round_small(state, xs2, ys2, ks, C, metric):
     """Several small-stride rounds fused into ONE kernel via overlapped
     tiling: the window carries halo H = sum(ks); each round shrinks the
     valid region by its stride, so round r+1 reads halo cells that round
@@ -93,7 +101,8 @@ def _multi_round_small(state, px, py, ks, C, metric):
     provable.  ks groups come from the greedy halo-budget split in
     jfa_rounds_pallas, so only a few groups compile per (C, metric).
     """
-    HP, WP = px.shape
+    HP = ys2.shape[0]
+    WP = xs2.shape[1]
     H = sum(ks)
     Hs = _round_up(H, 8)
     Hl = _round_up(H, 128)
@@ -110,8 +119,11 @@ def _multi_round_small(state, px, py, ks, C, metric):
     def outer(*hbm_refs):
         def inner(*refs):
             wins = [r[...] for r in refs[:C]]
-            pxw = refs[C][...]
-            pyw = refs[C + 1][...]
+            # coordinates ride as 1-D vectors and broadcast in-VMEM: the
+            # (Sy, Sx) coordinate planes never touch HBM (they were half
+            # the window traffic for C=2)
+            pxw = jnp.broadcast_to(refs[C][...][0:1, :], (Sy, Sx))
+            pyw = jnp.broadcast_to(refs[C + 1][...][:, 0:1], (Sy, Sx))
             outs = refs[C + 2:]
             # normalize the halo to exactly H on all sides
             oy, ox = Hs - H, Hl - H
@@ -145,11 +157,20 @@ def _multi_round_small(state, px, py, ks, C, metric):
         win_spec = pl.BlockSpec(
             (pl.BoundedSlice(Sy), pl.BoundedSlice(Sx)),
             lambda i, j: (pl.ds(ystart(i), Sy), pl.ds(xstart(j), Sx)))
+        # coordinate strips: min-tile-aligned (the lane/sublane tiling
+        # forbids width-1 blocks, so xs rides as 8 identical rows and ys
+        # as 128 identical lanes)
+        xs_spec = pl.BlockSpec(
+            (pl.BoundedSlice(8), pl.BoundedSlice(Sx)),
+            lambda i, j: (pl.ds(0, 8), pl.ds(xstart(j), Sx)))
+        ys_spec = pl.BlockSpec(
+            (pl.BoundedSlice(Sy), pl.BoundedSlice(128)),
+            lambda i, j: (pl.ds(ystart(i), Sy), pl.ds(0, 128)))
         out_spec = pl.BlockSpec((TS, TS), lambda i, j: (i, j))
         pltpu.emit_pipeline(
             inner,
             grid=(gi, gj),
-            in_specs=[win_spec] * (C + 2),
+            in_specs=[win_spec] * C + [xs_spec, ys_spec],
             out_specs=[out_spec] * C,
         )(*hbm_refs)
 
@@ -161,13 +182,14 @@ def _multi_round_small(state, px, py, ks, C, metric):
         out_shape=[jax.ShapeDtypeStruct((HP, WP), jnp.float32)] * C,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
-    )(*state, px, py)
+    )(*state, xs2, ys2)
     return list(outs) if C > 1 else [outs]
 
 
 @partial(jax.jit, static_argnames=("C", "metric"))
-def _large_round(m, state, px, py, C, metric):
-    HP, WP = px.shape
+def _large_round(m, state, xs2, ys2, C, metric):
+    HP = ys2.shape[0]
+    WP = xs2.shape[1]
     gi, gj = HP // T, WP // T
     offs = [(sy, sx) for sy in (-1, 0, 1) for sx in (-1, 0, 1)]
 
@@ -179,10 +201,10 @@ def _large_round(m, state, px, py, C, metric):
             memory_space=pltpu.VMEM)
 
     def kernel(m_ref, *refs):
-        # refs: 9 views per channel (offset-major), px, py, C outs
+        # refs: 9 views per channel (offset-major), xs row, ys col, C outs
         views = refs[:9 * C]
-        px_t = refs[9 * C][...]
-        py_t = refs[9 * C + 1][...]
+        px_t = jnp.broadcast_to(refs[9 * C][...][0:1, :], (T, T))
+        py_t = jnp.broadcast_to(refs[9 * C + 1][...][:, 0:1], (T, T))
         outs = refs[9 * C + 2:]
         own_i = offs.index((0, 0))
         cur = [views[own_i * C + c][...] for c in range(C)]
@@ -200,10 +222,14 @@ def _large_round(m, state, px, py, C, metric):
         in_specs += [view_spec(sy, sx)] * C
     tile = pl.BlockSpec((T, T), lambda i, j, m_ref: (i, j),
                         memory_space=pltpu.VMEM)
+    xs_spec = pl.BlockSpec((8, T), lambda i, j, m_ref: (0, j),
+                           memory_space=pltpu.VMEM)
+    ys_spec = pl.BlockSpec((T, 128), lambda i, j, m_ref: (i, 0),
+                           memory_space=pltpu.VMEM)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(gi, gj),
-        in_specs=in_specs + [tile, tile],
+        in_specs=in_specs + [xs_spec, ys_spec],
         out_specs=[tile] * C,
     )
     ins = []
@@ -216,17 +242,20 @@ def _large_round(m, state, px, py, C, metric):
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary"),
             vmem_limit_bytes=64 * 1024 * 1024),
-    )(jnp.full((1,), m, jnp.int32), *ins, px, py)
+    )(jnp.full((1,), m, jnp.int32), *ins, xs2, ys2)
     return list(outs)
 
 
 @partial(jax.jit, static_argnames=("strides", "metric", "with_val"))
-def jfa_rounds_pallas(tx_w, ty_w, tval, px, py, strides, metric, with_val):
+def jfa_rounds_pallas(tx_w, ty_w, tval, xs, ys, strides, metric, with_val):
     """Run the full JFA stride schedule with Pallas rounds.
 
-    Inputs are the unpadded (h, w) arrays of kernels/jfa.py::jump_flood;
-    returns (tx, ty, tval_or_None, best_key) — the same contract as
-    _jfa_rounds (the caller finalizes the metric).
+    tx_w/ty_w/tval are the unpadded (h, w) arrays of
+    kernels/jfa.py::jump_flood; xs (w,) / ys (h,) are the 1-D coordinate
+    vectors (the kernels broadcast them in-VMEM — the 2-D coordinate
+    planes never exist in HBM).  Returns (tx, ty, tval_or_None,
+    best_key) — the same contract as _jfa_rounds (the caller finalizes
+    the metric).
     """
     h, w = tx_w.shape
     hp = -(-h // T) * T
@@ -239,15 +268,18 @@ def jfa_rounds_pallas(tx_w, ty_w, tval, px, py, strides, metric, with_val):
     if with_val:
         state.append(jnp.pad(tval, pads, constant_values=0.0))
         C = 3
-    pxp = jnp.pad(px, pads, mode="edge")
-    pyp = jnp.pad(py, pads, mode="edge")
+    xsp = jnp.pad(xs.astype(jnp.float32), pads[1], mode="edge")
+    ysp = jnp.pad(ys.astype(jnp.float32), pads[0], mode="edge")
+    xs2 = jnp.broadcast_to(xsp[None, :], (8, wp + 2 * T))
+    ys2 = jnp.broadcast_to(ysp[:, None], (hp + 2 * T, 128))
 
     large = [k // T for k in strides if k >= T]
     small = [k for k in strides if k < T]
 
     if large:
         def big_body(st, m):
-            return tuple(_large_round(m, list(st), pxp, pyp, C, metric)), None
+            return tuple(_large_round(m, list(st), xs2, ys2, C,
+                                      metric)), None
         st, _ = jax.lax.scan(big_body, tuple(state),
                              jnp.asarray(large, jnp.int32))
         state = list(st)
@@ -263,10 +295,12 @@ def jfa_rounds_pallas(tx_w, ty_w, tval, px, py, strides, metric, with_val):
             acc += k
         groups.append(tuple(cur))
         for g in groups:
-            state = _multi_round_small(state, pxp, pyp, g, C, metric)
+            state = _multi_round_small(state, xs2, ys2, g, C, metric)
 
     crop = lambda a: a[T:T + h, T:T + w]  # noqa: E731
     tx, ty = crop(state[0]), crop(state[1])
     tv = crop(state[2]) if with_val else None
+    px = jnp.broadcast_to(xs.astype(jnp.float32)[None, :], (h, w))
+    py = jnp.broadcast_to(ys.astype(jnp.float32)[:, None], (h, w))
     best = _key(px, tx, py, ty, metric)
     return tx, ty, tv, best
