@@ -126,14 +126,10 @@ def _process(raster, x, y, target_values, max_distance, distance_metric,
         from .utils import x64
         with x64():
             h, w = img.shape
-            rows = jnp.arange(h, dtype=jnp.int32)[:, None] \
-                * jnp.ones((1, w), jnp.int32)
-            cols = jnp.ones((h, 1), jnp.int32) \
-                * jnp.arange(w, dtype=jnp.int32)[None, :]
             xs64 = jnp.asarray(np.asarray(raster[x].data, dtype=np.float64))
             ys64 = jnp.asarray(np.asarray(raster[y].data, dtype=np.float64))
-            px = xs64[cols]
-            py = ys64[rows]
+            px = jnp.broadcast_to(xs64[None, :], (h, w))
+            py = jnp.broadcast_to(ys64[:, None], (h, w))
             out = jnp.where(reachable,
                             _compass_direction(px, t_x.astype(jnp.float64),
                                                py, t_y.astype(jnp.float64)),
