@@ -417,6 +417,71 @@ def _halfplane_scan(s_T, dy_vec, vp_minor, n_major):
     return out
 
 
+def _halfplane_scan4(slope_self, dy_vec, dx_vec, vp_row, vp_col, shape):
+    """All four half-plane scans as ONE lax.scan with a (4, N) carry.
+
+    The four scans are independent and share the step recurrence, so
+    stacking them quarters the sequential step count (the scans were the
+    whole wall time of the single-device XDraw path; each step is tiny
+    VPU work).  Non-square rasters pad to N = max(h, w); padded steps
+    and carry lanes produce -inf and are sliced away.
+    Returns (m_e, m_w, m_s, m_n) in raster orientation, matching the
+    separate `_halfplane_scan` calls bit-for-bit modulo XLA fusion.
+    """
+    h, w = shape
+    n = max(h, w)
+    neginf = jnp.float32(-jnp.inf)
+    s_T = jnp.swapaxes(slope_self, 0, 1)
+
+    def pad2(a):
+        return jnp.pad(a, ((0, n - a.shape[0]), (0, n - a.shape[1])),
+                       constant_values=neginf)
+
+    def pad1(v):
+        # padded minor offsets: huge |offset| -> never inside the mask
+        return jnp.pad(v, (0, n - v.shape[0]),
+                       constant_values=jnp.float32(3 * n))
+
+    seq = jnp.stack([pad2(s_T), pad2(s_T[::-1]),
+                     pad2(slope_self), pad2(slope_self[::-1])], axis=1)
+    minor = jnp.stack([pad1(dy_vec), pad1(dy_vec),
+                       pad1(dx_vec), pad1(dx_vec)])           # (4, N)
+    vpm = jnp.stack([vp_col.astype(jnp.float32),
+                     jnp.float32(w - 1) - vp_col.astype(jnp.float32),
+                     vp_row.astype(jnp.float32),
+                     jnp.float32(h - 1) - vp_row.astype(jnp.float32)])
+
+    ady = jnp.abs(minor)
+    sy = jnp.sign(minor)
+    use_sec = ady > 0
+
+    def step(m_prev, inp):
+        s_t, dxf = inp                 # (4, N), (4, 1)
+        mask = (ady <= dxf) & (dxf > 0)
+        prim = m_prev
+        up = jnp.concatenate([jnp.full((4, 1), neginf), m_prev[:, :-1]], 1)
+        down = jnp.concatenate([m_prev[:, 1:], jnp.full((4, 1), neginf)], 1)
+        sec = jnp.where(sy > 0, up, jnp.where(sy < 0, down, prim))
+        wsec = jnp.where(use_sec, ady / jnp.maximum(dxf, 1.0), 0.0)
+        both = jnp.isfinite(prim) & jnp.isfinite(sec)
+        interp = jnp.where(both, prim * (1.0 - wsec) + sec * wsec,
+                           jnp.maximum(prim, sec))
+        blocked = jnp.where(dxf == 1.0, neginf, interp)
+        m_new = jnp.where(mask, jnp.maximum(blocked, s_t), neginf)
+        return m_new, m_new
+
+    dxs = (jnp.arange(n, dtype=jnp.float32)[:, None, None]
+           - vpm[None, :, None])       # (N, 4, 1)
+    init = jnp.full((4, n), neginf)
+    _, out = jax.lax.scan(step, init, (seq, dxs))   # (N, 4, N)
+
+    m_e = jnp.swapaxes(out[:w, 0, :h], 0, 1)
+    m_w = jnp.swapaxes(out[:w, 1, :h], 0, 1)[:, ::-1]
+    m_s = out[:h, 2, :w]
+    m_n = out[:h, 3, :w][::-1]
+    return m_e, m_w, m_s, m_n
+
+
 def _xdraw_fields(data, vp_row, vp_col, observer_elev, target_elev,
                   ew_res, ns_res, shape):
     """Shared prologue of the octant-scan paths: per-cell slopes and
@@ -489,8 +554,8 @@ def _viewshed_xdraw_scan_impl(data, vp_row, vp_col, observer_elev,
     ady = jnp.abs(dy)
     adx = jnp.abs(dx)
 
-    m_e, m_w, m_s, m_n = (f(slope_self, dy_vec, dx_vec, vp_row, vp_col)
-                          for f in _XDRAW_SCANS)
+    m_e, m_w, m_s, m_n = _halfplane_scan4(slope_self, dy_vec, dx_vec,
+                                          vp_row, vp_col, shape)
 
     x_dom = adx >= ady
     m = jnp.where(x_dom, jnp.where(dx >= 0, m_e, m_w),
