@@ -271,6 +271,28 @@ def test_a_star_warns_on_sharded_input():
         a_star_search(agg, start, goal)
 
 
+@pytest.mark.parametrize("small_mesh_shape", [(1, 2), (1, 3)])
+def test_viewshed_sharded_small_mesh_parity(small_mesh_shape):
+    # fewer devices than octants: a per-device single scan would DROP
+    # octants; the path must fall back to the stacked 4-scan per device
+    from xrspatial_tpu import viewshed
+    ny, nx = small_mesh_shape
+    mesh = make_raster_mesh(ny, nx, devices=jax.devices()[:ny * nx])
+    rng = np.random.default_rng(13)
+    data = (rng.random((64, 64)) * 80).astype(np.float32)
+    ref_agg = create_test_raster(data)
+    x0 = float(ref_agg['x'].data[20])
+    y0 = float(ref_agg['y'].data[40])
+    ref = np.asarray(viewshed(ref_agg, x=x0, y=y0, observer_elev=5.0,
+                              exact=False).data)
+    agg = create_test_raster(data)
+    agg.data = distribute(agg.data, mesh)
+    out = np.asarray(viewshed(agg, x=x0, y=y0, observer_elev=5.0,
+                              exact=False).data)
+    np.testing.assert_array_equal(out == -1, ref == -1)
+    np.testing.assert_allclose(out, ref, rtol=1e-5)
+
+
 def test_viewshed_sharded_xdraw_parity(mesh):
     # the 4 octant scans distribute over the mesh (lax.switch + pmax);
     # results must match the single-device XDraw bit-for-bit

@@ -472,3 +472,29 @@ def test_many_zones_scatter_chunked_accuracy(monkeypatch):
     for c in ["mean", "sum", "min", "max", "count"]:
         np.testing.assert_allclose(df[c], ref[c], rtol=1e-5,
                                    err_msg=f"stat={c}")
+
+
+def test_fits_int32_gate():
+    from xrspatial_tpu.zonal import _fits_int32
+    assert _fits_int32(np.array([1, 2], dtype=np.int32))
+    assert _fits_int32(np.array([2**31 - 1], dtype=np.int64))
+    assert not _fits_int32(np.array([2**31], dtype=np.int64))
+    assert not _fits_int32(np.array([2**31 + 5], dtype=np.uint32))
+    assert not _fits_int32(np.array([-2**31 - 1], dtype=np.int64))
+    assert _fits_int32(np.array([], dtype=np.int64))
+
+
+def test_stats_int64_zone_ids_beyond_int32():
+    # ids outside int32 must not be silently wrapped by a device upload
+    # (jnp.asarray canonicalizes int64 -> int32 when x64 is off); they
+    # take the host-unique path and keep their exact labels
+    from xrspatial_tpu.zonal import stats
+    base = 2**31
+    zones_np = np.array([[base, base, base + 1, base + 1]] * 2,
+                        dtype=np.int64)
+    values_np = np.arange(8, dtype=np.float64).reshape(2, 4)
+    zones = create_test_raster(zones_np, name="zones")
+    values = create_test_raster(values_np, name="values")
+    df = stats(zones=zones, values=values, stats_funcs=["mean", "count"])
+    assert list(df["zone"]) == [base, base + 1]
+    np.testing.assert_allclose(df["mean"], [2.5, 4.5])

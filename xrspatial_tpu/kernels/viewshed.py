@@ -554,8 +554,15 @@ def _viewshed_xdraw_scan_impl(data, vp_row, vp_col, observer_elev,
     ady = jnp.abs(dy)
     adx = jnp.abs(dx)
 
-    m_e, m_w, m_s, m_n = _halfplane_scan4(slope_self, dy_vec, dx_vec,
-                                          vp_row, vp_col, shape)
+    if max(h, w) <= 8192:
+        m_e, m_w, m_s, m_n = _halfplane_scan4(slope_self, dy_vec, dx_vec,
+                                              vp_row, vp_col, shape)
+    else:
+        # the stacked scan materializes a padded (N, 4, N) input stack
+        # plus an equally-sized scan output (~2x extra HBM at 16k^2);
+        # very large rasters take the four separate scans instead
+        m_e, m_w, m_s, m_n = (f(slope_self, dy_vec, dx_vec,
+                                vp_row, vp_col) for f in _XDRAW_SCANS)
 
     x_dom = adx >= ady
     m = jnp.where(x_dom, jnp.where(dx >= 0, m_e, m_w),
@@ -645,6 +652,7 @@ def viewshed_grid_los_sharded(data, mesh, vp_row: int, vp_col: int,
     data = jnp.asarray(data, dtype=jnp.float32)
     shape = data.shape
     n_x = mesh.shape["x"]
+    n_dev = mesh.size
 
     @partial(shard_map, mesh=mesh, in_specs=(P(), P(), P()),
              out_specs=P(), check_rep=False)
@@ -658,17 +666,31 @@ def viewshed_grid_los_sharded(data, mesh, vp_row: int, vp_col: int,
                                   jnp.float32(ew_res), jnp.float32(ns_res),
                                   shape)
         masks = _xdraw_octant_masks(dy, dx)
-        dev = jax.lax.axis_index("y") * n_x + jax.lax.axis_index("x")
+        if n_dev >= 4:
+            # one masked scan per device, combined with pmax (scans
+            # duplicate harmlessly when n_dev is not a multiple of 4)
+            dev = jax.lax.axis_index("y") * n_x + jax.lax.axis_index("x")
 
-        def branch(i):
-            def f(_):
-                mi = _XDRAW_SCANS[i](slope_self, dy_vec, dx_vec, vp_r, vp_c)
-                return jnp.where(masks[i], mi, -jnp.inf)
-            return f
+            def branch(i):
+                def f(_):
+                    mi = _XDRAW_SCANS[i](slope_self, dy_vec, dx_vec,
+                                         vp_r, vp_c)
+                    return jnp.where(masks[i], mi, -jnp.inf)
+                return f
 
-        m_part = jax.lax.switch(dev % 4, [branch(i) for i in range(4)],
-                                None)
-        m = jax.lax.pmax(m_part, ("y", "x"))
+            m_part = jax.lax.switch(dev % 4, [branch(i) for i in range(4)],
+                                    None)
+            m = jax.lax.pmax(m_part, ("y", "x"))
+        else:
+            # fewer devices than octants: a per-device single scan would
+            # DROP octants (wrong visibility); run the stacked 4-scan on
+            # every device instead (replicated compute, no combine)
+            m_e, m_w, m_s, m_n = _halfplane_scan4(
+                slope_self, dy_vec, dx_vec, vp_r, vp_c, shape)
+            parts = (m_e, m_w, m_s, m_n)
+            m = jnp.full(shape, -jnp.inf)
+            for mk, mi in zip(masks, parts):
+                m = jnp.where(mk, mi, m)
         return _xdraw_epilogue(m, data_rep, dy, dx, safe_d, slope_tgt,
                                vp_elev, jnp.float32(target_elev), shape)
 

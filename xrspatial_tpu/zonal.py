@@ -43,6 +43,15 @@ def _unique_zones_host(zones_np: np.ndarray) -> np.ndarray:
     return np.unique(zones_np[np.isfinite(zones_np)])
 
 
+def _fits_int32(a: np.ndarray) -> bool:
+    """True if every value of an integer host array is exactly
+    representable in int32 (device upload canonicalizes to int32 with
+    SILENT wraparound when x64 is off)."""
+    if a.size == 0 or np.can_cast(a.dtype, np.int32):
+        return True
+    return (int(a.min()) >= -(2 ** 31)) and (int(a.max()) < 2 ** 31)
+
+
 @jax.jit
 def _segment_ids(zones, unique_zones):
     """Dense segment index per pixel; len(unique) for non-finite zones.
@@ -168,19 +177,37 @@ def _segment_stats_scatter(values, seg_ids, num_segments, nodata,
                   (0, npad - sz)).reshape(n_chunks, chunk)
 
     seg_sum = partial(jax.ops.segment_sum, num_segments=n)
-    ssum = jnp.sum(jax.vmap(seg_sum)(vs, ss), axis=0)[:-1]
-    cnt = jnp.sum(jax.vmap(seg_sum)(wts, ss), axis=0)[:-1]
-    ssumsq = jnp.sum(jax.vmap(seg_sum)(vs * vs, ss), axis=0)[:-1]
     seg_min = partial(jax.ops.segment_min, num_segments=n)
     seg_max = partial(jax.ops.segment_max, num_segments=n)
-    smin = jnp.min(jax.vmap(seg_min)(vinf, ss), axis=0)[:-1]
-    smax = jnp.max(jax.vmap(seg_max)(vninf, ss), axis=0)[:-1]
-    # algebraic centered sum of squares: f32 cancellation makes std/var
-    # of near-constant zones imprecise on this (>65536-zone) tail path;
-    # the matmul path below computes a true two-pass css instead
+
+    # fold over chunks with f64 accumulators: O(n) memory (a vmap over
+    # chunks would materialize (n_chunks, n) scatter results — gigabytes
+    # in exactly the million-zone regime this path serves) and the
+    # cross-chunk adds are f64-exact
+    def body(carry, inp):
+        a_sum, a_cnt, a_sq, a_min, a_max = carry
+        vs_c, ss_c, vinf_c, vninf_c, wts_c = inp
+        a_sum = a_sum + seg_sum(vs_c, ss_c).astype(jnp.float64)
+        a_cnt = a_cnt + seg_sum(wts_c, ss_c).astype(jnp.float64)
+        a_sq = a_sq + seg_sum(vs_c * vs_c, ss_c).astype(jnp.float64)
+        a_min = jnp.minimum(a_min, seg_min(vinf_c, ss_c))
+        a_max = jnp.maximum(a_max, seg_max(vninf_c, ss_c))
+        return (a_sum, a_cnt, a_sq, a_min, a_max), None
+
+    from .utils import x64
+    with x64():
+        init = (jnp.zeros((n,), jnp.float64), jnp.zeros((n,), jnp.float64),
+                jnp.zeros((n,), jnp.float64), jnp.full((n,), jnp.inf),
+                jnp.full((n,), -jnp.inf))
+        (ssum64, cnt64, ssumsq64, smin, smax), _ = jax.lax.scan(
+            body, init, (vs, ss, vinf, vninf, wts))
+    # algebraic centered sum of squares in f64 (the prefix sums are
+    # ~1e-16-relative exact, so cancellation stays inside the contract)
     css = jnp.maximum(
-        ssumsq - ssum * ssum / jnp.maximum(cnt, 1.0), 0.0)
-    return ssum, cnt, css, smin, smax
+        ssumsq64 - ssum64 * ssum64 / jnp.maximum(cnt64, 1.0), 0.0)
+    return (ssum64[:-1].astype(jnp.float32), cnt64[:-1].astype(jnp.float32),
+            css[:-1].astype(jnp.float32), smin[:-1].astype(jnp.float32),
+            smax[:-1].astype(jnp.float32))
 
 
 @partial(jax.jit,
@@ -466,8 +493,17 @@ def _unique_float_device(vdata, nodata_values):
     k = int(jnp.sum(new))  # scalar fetch
     if k == 0:
         return np.array([], dtype=np.float32)
-    idx = jnp.nonzero(new, size=k)[0]
-    u = np.asarray(v[idx])
+    if k > 65536:
+        # a continuous-valued raster, not categories: the k-element
+        # device gather would be pathological on TPU (and a k-column
+        # crosstab is no more useful than the host error/result).  Fall
+        # back to the safe host unique
+        values_np = np.asarray(vdata).ravel()
+        finite = np.isfinite(values_np)
+        u = np.unique(values_np[finite]).astype(np.float32)
+    else:
+        idx = jnp.nonzero(new, size=k)[0]
+        u = np.asarray(v[idx])
     if nodata_values is not None:
         u = u[u != np.float32(nodata_values)]
     return u
@@ -660,9 +696,12 @@ def stats(
     zdata = zones.data
     if (not needs_host_zones and isinstance(zdata, np.ndarray)
             and jax.default_backend() == "tpu"
-            and np.issubdtype(zdata.dtype, np.integer)):
+            and np.issubdtype(zdata.dtype, np.integer)
+            and _fits_int32(zdata)):
         # host-numpy inputs: one up-front upload lets the dense device
-        # path run (np.unique of a large raster on host costs seconds)
+        # path run (np.unique of a large raster on host costs seconds).
+        # Ids outside int32 stay on host — jnp.asarray would silently
+        # WRAP them (x64 is off) before the dense gate could reject them
         zdata = jnp.asarray(zdata)
     dense = None if needs_host_zones else _dense_zone_range(zdata)
     zones_np = None
@@ -806,11 +845,16 @@ def crosstab(
     vdata = values.data
     if jax.default_backend() == "tpu":
         # one up-front upload so host-numpy inputs ride the device paths
-        # (dense bins / device sort-unique) instead of host np.unique
+        # (dense bins / device sort-unique) instead of host np.unique.
+        # Integer ids outside int32 stay on host — jnp.asarray would
+        # silently WRAP them (x64 is off)
         if (isinstance(zdata, np.ndarray)
-                and np.issubdtype(zdata.dtype, np.integer)):
+                and np.issubdtype(zdata.dtype, np.integer)
+                and _fits_int32(zdata)):
             zdata = jnp.asarray(zdata)
-        if isinstance(vdata, np.ndarray) and values.ndim == 2:
+        if (isinstance(vdata, np.ndarray) and values.ndim == 2
+                and (not np.issubdtype(vdata.dtype, np.integer)
+                     or _fits_int32(vdata))):
             vdata = jnp.asarray(vdata)
 
     unique_zones, seg_ids = _unique_and_seg_ids(zdata)
