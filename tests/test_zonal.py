@@ -498,3 +498,16 @@ def test_stats_int64_zone_ids_beyond_int32():
     df = stats(zones=zones, values=values, stats_funcs=["mean", "count"])
     assert list(df["zone"]) == [base, base + 1]
     np.testing.assert_allclose(df["mean"], [2.5, 4.5])
+
+
+def test_unique_float_device_cap_falls_back(monkeypatch):
+    # above the cap the device sort-unique must fall back to host
+    # np.unique instead of issuing a huge gather
+    import jax.numpy as jnp
+
+    import xrspatial_tpu.zonal as z
+    monkeypatch.setattr(z, "_UNIQUE_GATHER_CAP", 4)
+    vals = jnp.asarray(np.array([5.0, 1.0, 3.0, 2.0, 4.0, 1.0, np.nan],
+                                dtype=np.float32))
+    u = z._unique_float_device(vals, nodata_values=3.0)
+    np.testing.assert_array_equal(u, [1.0, 2.0, 4.0, 5.0])

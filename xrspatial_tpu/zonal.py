@@ -30,6 +30,9 @@ __all__ = ["stats", "crosstab", "apply", "regions", "trim", "crop",
 
 _DEFAULT_STATS_NAMES = ["mean", "max", "min", "sum", "std", "var", "count",
                         "majority"]
+# max distinct float categories fetched via device gather (beyond this a
+# raster is continuous-valued, and big gathers are pathological on TPU)
+_UNIQUE_GATHER_CAP = 65536
 _TOTAL_COUNT = "total_count"
 
 
@@ -493,7 +496,7 @@ def _unique_float_device(vdata, nodata_values):
     k = int(jnp.sum(new))  # scalar fetch
     if k == 0:
         return np.array([], dtype=np.float32)
-    if k > 65536:
+    if k > _UNIQUE_GATHER_CAP:
         # a continuous-valued raster, not categories: the k-element
         # device gather would be pathological on TPU (and a k-column
         # crosstab is no more useful than the host error/result).  Fall
