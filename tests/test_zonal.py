@@ -511,3 +511,28 @@ def test_unique_float_device_cap_falls_back(monkeypatch):
                                 dtype=np.float32))
     u = z._unique_float_device(vals, nodata_values=3.0)
     np.testing.assert_array_equal(u, [1.0, 2.0, 4.0, 5.0])
+
+
+def test_crosstab_2d_shape_mismatch_raises():
+    from xrspatial_tpu.zonal import crosstab
+    zones = create_test_raster(np.ones((4, 4), dtype=np.int64))
+    values = create_test_raster(np.ones((5, 6), dtype=np.float32))
+    with pytest.raises(ValueError, match="Incompatible shapes"):
+        crosstab(zones=zones, values=values)
+
+
+def test_crosstab_int_categories_beyond_f32_precision():
+    # integer codes above 2^24 are not exactly representable in float32
+    # (e.g. 100000000 and 100000004 collide); the histogram must keep
+    # them distinct via exact-int compact indices
+    from xrspatial_tpu.zonal import crosstab
+    a, b = 100000000, 100000004
+    assert np.float32(a) == np.float32(b)  # they DO collide in f32
+    zones = create_test_raster(
+        np.array([[1, 1, 2, 2]] * 2, dtype=np.int64))
+    values = create_test_raster(
+        np.array([[a, b, a, b]] * 2, dtype=np.int64))
+    df = crosstab(zones=zones, values=values)
+    assert set(df.columns) == {"zone", a, b}
+    np.testing.assert_array_equal(df[a], [2, 2])
+    np.testing.assert_array_equal(df[b], [2, 2])

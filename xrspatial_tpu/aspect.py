@@ -46,17 +46,13 @@ def aspect(agg: DataArray,
 
     if method == 'planar':
         data = to_jax(agg)
-        from .kernels.surface import surface_kernels, use_pallas_surface
-        from .parallel.halo import get_raster_mesh
-        if get_raster_mesh(data) is None and use_pallas_surface(data, ("aspect",)):
-            out = surface_kernels(data, ("aspect",))["aspect"]
-        else:
-            out = run_stencil(aspect_jit, 1, data)
+        from .kernels.surface import run_surface_op
+        out = run_surface_op("aspect", data)
     else:
         if z_unit not in Z_UNITS:
             raise ValueError(
                 f"z_unit must be one of "
-                f"{sorted(set(Z_UNITS.values()), key=str)}, got {z_unit!r}")
+                f"{sorted(Z_UNITS)}, got {z_unit!r}")
         z_factor = Z_UNITS[z_unit]
         lat_2d, lon_2d = _extract_latlon_coords(agg)
         with x64():

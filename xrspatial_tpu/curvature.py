@@ -33,11 +33,6 @@ def curvature(agg: DataArray,
     cellsize_x, cellsize_y = get_dataarray_resolution(agg)
     cellsize = (cellsize_x + cellsize_y) / 2
     data = to_jax(agg)
-    from .kernels.surface import surface_kernels, use_pallas_surface
-    from .parallel.halo import get_raster_mesh
-    if get_raster_mesh(data) is None and use_pallas_surface(data, ("curvature",)):
-        out = surface_kernels(data, ("curvature",), cellsize,
-                              cellsize)["curvature"]
-    else:
-        out = run_stencil(curvature_jit, 1, data, jnp.float32(cellsize))
+    from .kernels.surface import run_surface_op
+    out = run_surface_op("curvature", data, cellsize, cellsize)
     return wrap_like(agg, out, name)

@@ -113,13 +113,18 @@ def _stats_kernel_pallas(offsets: tuple, stats: tuple):
                                          tiled_radius_supported)
     ry = max(abs(dy) for dy, _ in offsets)
     rx = max(abs(dx) for _, dx in offsets)
-    if tiled_radius_supported(ry, rx):
-        # classic-pipeline tiled kernel: ~2x the emit_pipeline variant
-        def kern(block):
+
+    def kern(block):
+        h, w = block.shape
+        # tile interiors need th > 2*ry (tiled) / a >=2 grid dim (halo
+        # windows); thin rasters take the fused-XLA path instead
+        if (tiled_radius_supported(ry, rx)
+                and h > 2 * ry + 8 and w > 2 * rx + 128):
+            # classic-pipeline tiled kernel: ~2x the emit_pipeline variant
             return focal_stats_tiled(block, offsets, stats)
-    else:
-        def kern(block):
+        if h >= 16 and w >= 256:
             return focal_stats_pallas(block, offsets, stats)
+        return _stats_kernel(offsets, stats)(block)
     return kern
 
 

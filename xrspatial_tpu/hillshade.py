@@ -56,13 +56,7 @@ def hillshade(agg: DataArray,
                                 jnp.float32(cellsize_x),
                                 jnp.float32(abs(cellsize_y)))
     else:
-        from .kernels.surface import surface_kernels, use_pallas_surface
-        from .parallel.halo import get_raster_mesh
-        if get_raster_mesh(data) is None and use_pallas_surface(data, ("hillshade",)):
-            out = surface_kernels(
-                data, ("hillshade",), azimuth=azimuth,
-                angle_altitude=angle_altitude)["hillshade"]
-        else:
-            out = run_stencil(hillshade_jit, 1, data, jnp.float32(azimuth),
-                              jnp.float32(angle_altitude))
+        from .kernels.surface import run_surface_op
+        out = run_surface_op("hillshade", data, azimuth=azimuth,
+                             angle_altitude=angle_altitude)
     return wrap_like(agg, out, name)

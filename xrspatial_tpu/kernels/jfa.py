@@ -77,14 +77,6 @@ def _metric_finalize(key, metric: int):
     return jnp.sqrt(key)
 
 
-def _shift_simple(arr, dy, dx, fill):
-    """Shift so out[i,j] = arr[i+dy, j+dx]; out-of-bounds -> fill."""
-    h, w = arr.shape
-    py0, py1 = max(-dy, 0), max(dy, 0)
-    px0, px1 = max(-dx, 0), max(dx, 0)
-    p = jnp.pad(arr, ((py0, py1), (px0, px1)), constant_values=fill)
-    return p[py0 + dy:py0 + dy + h, px0 + dx:px0 + dx + w]
-
 
 @partial(jax.jit, static_argnames=("strides", "metric", "shape"))
 def _jfa_rounds(tx_w, ty_w, tval, xs, ys, strides, metric, shape):

@@ -167,10 +167,10 @@ def surface_pallas(data, cellsize_x, cellsize_y, azimuth, angle_altitude,
     tw = min(TILE_W, _round_up(max(128, w), 128))
     # grid dims of 1 trip a Slice-pytree canonicalization bug in the
     # pipeline emitter; halve tiles until every grid dim is >= 2
-    while h > th and -(-h // th) < 2 and th > 8:
-        th = _round_up(th // 2, 8)
-    while w > tw and -(-w // tw) < 2 and tw > 128:
-        tw = _round_up(tw // 2, 128)
+    while -(-h // th) < 2 and th > 8:
+        th = _round_up(max(th // 2, 8), 8)
+    while -(-w // tw) < 2 and tw > 128:
+        tw = _round_up(max(tw // 2, 128), 128)
     hp = -(-h // th) * th
     wp = -(-w // tw) * tw
     sh = _round_up(th + 2, 8)

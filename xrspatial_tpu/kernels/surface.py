@@ -169,7 +169,36 @@ def use_pallas_surface(data, which=("slope",)) -> bool:
         return False
     if jax.default_backend() != "tpu":
         return False
+    if data.shape[-2] <= 10 or data.shape[-1] <= 130:
+        return False  # tile interiors need th > 2*r rows / tw > 2*r cols
     return data.size >= (2048 * 2048)
+
+
+def run_surface_op(name, data, cellsize_x=1.0, cellsize_y=1.0,
+                   azimuth=225.0, angle_altitude=25.0):
+    """Single-op dispatch shared by slope/aspect/curvature/hillshade.
+
+    Mesh-sharded input -> run_stencil (ppermute halo path); TPU at
+    scale -> Pallas tiled kernel; else the fused-XLA stencil.  ONE
+    place for the gate so the four ops cannot silently diverge.
+    """
+    from ..parallel.halo import get_raster_mesh
+    from .dispatch import run_stencil
+    if get_raster_mesh(data) is None and use_pallas_surface(data, (name,)):
+        return surface_kernels(data, (name,), cellsize_x, cellsize_y,
+                               azimuth, angle_altitude)[name]
+    if name == "slope":
+        return run_stencil(slope_jit, 1, data, jnp.float32(cellsize_x),
+                           jnp.float32(cellsize_y))
+    if name == "aspect":
+        return run_stencil(aspect_jit, 1, data)
+    if name == "curvature":
+        return run_stencil(curvature_jit, 1, data,
+                           jnp.float32(cellsize_x))
+    if name == "hillshade":
+        return run_stencil(hillshade_jit, 1, data, jnp.float32(azimuth),
+                           jnp.float32(angle_altitude))
+    raise ValueError(f"unknown surface op {name!r}")
 
 
 def surface_kernels(data, which, cellsize_x=1.0, cellsize_y=1.0,

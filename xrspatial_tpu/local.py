@@ -6,10 +6,15 @@ iterates every pixel with ``np.nditer`` + python tuples (local.py:66-73 —
 reductions over a stacked (V, H, W) cube; per-pixel sorted-unique logic
 (popularity/rank) uses sort + cumsum dedup tricks along the variable axis.
 
-Semantics preserved exactly, including the quirks: NaN in any variable
-makes the output cell NaN; positions are 1-indexed with first-occurrence
-ties; ``popularity`` indexes the *sorted unique values* (not sorted by
-frequency) and returns NaN when all values are distinct.
+Semantics preserved exactly, including the quirks: NaN in any DATA
+variable makes the output cell NaN, but a NaN in the *reference*
+variable of the frequency tools yields 0, not NaN (the reference only
+NaN-checks the data vars, local.py:233 — NaN comparisons are all
+False); positions are 1-indexed with first-occurrence ties;
+``popularity`` indexes the *sorted unique values* (not sorted by
+frequency) and returns NaN when all values are distinct; outputs are
+bare DataArrays without coords, exactly like the reference's
+``xr.DataArray(final_arr)`` returns.
 """
 
 from __future__ import annotations
@@ -129,7 +134,7 @@ def _frequency(raster, ref_var, data_vars, op):
     ref = jnp.asarray(raster[ref_var].data, dtype=cube.dtype)
     count = jnp.sum(op(ref[None], cube), axis=0).astype(cube.dtype)
     out = jnp.where(_nan_any(cube), jnp.nan, count)
-    return DataArray(np.asarray(out))
+    return DataArray(out)  # stays on device (bare coords = reference)
 
 
 def lesser_frequency(raster: Dataset, ref_var: str, data_vars=None):
@@ -152,7 +157,7 @@ def _position(raster, data_vars, arg_fn):
     cube = _stack(raster, data_vars)
     pos = arg_fn(cube, axis=0) + 1
     out = jnp.where(_nan_any(cube), jnp.nan, pos.astype(cube.dtype))
-    return DataArray(np.asarray(out))
+    return DataArray(out)  # stays on device (bare coords = reference)
 
 
 def lowest_position(raster: Dataset, data_vars=None):

@@ -57,20 +57,13 @@ def slope(agg: DataArray,
     if method == 'planar':
         cellsize_x, cellsize_y = get_dataarray_resolution(agg)
         data = to_jax(agg)
-        from .kernels.surface import surface_kernels, use_pallas_surface
-        from .parallel.halo import get_raster_mesh
-        if get_raster_mesh(data) is None and use_pallas_surface(data, ("slope",)):
-            out = surface_kernels(data, ("slope",), cellsize_x,
-                                  cellsize_y)["slope"]
-        else:
-            out = run_stencil(slope_jit, 1, data,
-                              jnp.float32(cellsize_x),
-                              jnp.float32(cellsize_y))
+        from .kernels.surface import run_surface_op
+        out = run_surface_op("slope", data, cellsize_x, cellsize_y)
     else:
         if z_unit not in Z_UNITS:
             raise ValueError(
                 f"z_unit must be one of "
-                f"{sorted(set(Z_UNITS.values()), key=str)}, got {z_unit!r}")
+                f"{sorted(Z_UNITS)}, got {z_unit!r}")
         z_factor = Z_UNITS[z_unit]
         lat_2d, lon_2d = _extract_latlon_coords(agg)
         with x64():

@@ -837,6 +837,9 @@ def crosstab(
         if agg not in agg_2d:
             raise ValueError(
                 f"`agg` method for 2D data array must be one of {agg_2d}")
+        if zones.shape != values.shape:
+            raise ValueError("Incompatible shapes between `zones` "
+                             "and `values`")
     elif values.ndim == 3:
         if agg not in agg_3d:
             raise ValueError(
@@ -943,10 +946,33 @@ def crosstab(
         # exact per-category counts instead.
         cats = np.array([c for c in cat_ids if c in unique_cats])
 
+    nc = len(unique_cats)
+    cats_dev = jnp.asarray(unique_cats.astype(np.float32))
+    v_count = vdata
+    nodata_c, has_nodata_c = nodata, has_nodata
+    if (nc and np.issubdtype(np.asarray(unique_cats).dtype, np.integer)
+            and max(abs(int(unique_cats[0])),
+                    abs(int(unique_cats[-1]))) >= 2 ** 24):
+        # float32 cannot represent such labels exactly (integer codes
+        # above 2^24 collide), so the histogram runs over exact-int
+        # compact indices; invalid/nodata cells map to NaN (nodata is
+        # already excluded from unique_cats)
+        if isinstance(vdata, np.ndarray):
+            flat = vdata.ravel()
+            idx = np.clip(np.searchsorted(unique_cats, flat), 0, nc - 1)
+            hit = unique_cats[idx] == flat
+            v_count = np.where(hit, idx, np.nan).astype(
+                np.float32).reshape(vdata.shape)
+        else:
+            seg = _segment_ids(vdata, jnp.asarray(unique_cats))
+            v_count = jnp.where(seg < nc, seg.astype(jnp.float32),
+                                jnp.nan).reshape(vdata.shape)
+        cats_dev = jnp.arange(nc, dtype=jnp.float32)
+        nodata_c, has_nodata_c = jnp.float32(0.0), False
+
     counts, totals = _crosstab_counts(
-        seg_ids, jnp.asarray(vdata),
-        jnp.asarray(unique_cats.astype(np.float32)),
-        nz, len(unique_cats), nodata, has_nodata)
+        seg_ids, jnp.asarray(v_count), cats_dev,
+        nz, nc, nodata_c, has_nodata_c)
     counts = np.asarray(counts)
     totals = np.array(totals, dtype=np.float32)  # writable copy
 
@@ -1016,9 +1042,11 @@ def _label_propagate(data, n8):
     h, w = data.shape
     rows = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
     cols = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
-    init = (rows * w + cols).astype(jnp.float32)
+    # int32 labels: float32 flat indices collide above 2^24 pixels and
+    # would silently merge distinct regions on >4096^2 rasters
+    init = rows * w + cols
     nanmask = jnp.isnan(data)
-    big = jnp.float32(h * w + 1)
+    big = jnp.int32(h * w + 1)
     init = jnp.where(nanmask, big, init)
 
     if n8:
@@ -1053,7 +1081,7 @@ def _label_propagate(data, n8):
         return state[1]
 
     labels, _ = jax.lax.while_loop(cond, body, (init, jnp.bool_(True)))
-    return jnp.where(nanmask, jnp.nan, labels)
+    return jnp.where(nanmask, big, labels)  # int32; `big` marks NaN cells
 
 
 def regions(raster: DataArray, neighborhood: int = 4,
@@ -1068,12 +1096,15 @@ def regions(raster: DataArray, neighborhood: int = 4,
     data = jnp.asarray(raster.data, dtype=jnp.float32)
     labels = np.asarray(_label_propagate(data, neighborhood == 8))
 
-    # renumber to scan-order 1..n
-    out = np.full(labels.shape, np.nan, dtype=np.float32)
+    # renumber to scan-order 1..n (labels are exact int32; h*w+1 marks
+    # NaN cells)
     flat = labels.ravel()
-    finite = np.isfinite(flat)
-    _, first_idx, inverse = np.unique(flat[finite], return_index=True,
-                                      return_inverse=True)
+    finite = flat != labels.size + 1
+    uniq, first_idx, inverse = np.unique(flat[finite], return_index=True,
+                                         return_inverse=True)
+    # float64 output when ids would not be exact in float32
+    out_dt = np.float32 if len(uniq) < 2 ** 24 else np.float64
+    out = np.full(labels.shape, np.nan, dtype=out_dt)
     order = np.argsort(np.argsort(first_idx))
     out.ravel()[finite] = order[inverse] + 1
     result = DataArray(jnp.asarray(out), name=name, dims=raster.dims,
