@@ -328,3 +328,34 @@ def test_mean_preserves_input_dtype():
     f32 = mean(DataArray(data.astype(np.float32), dims=("y", "x")))
     assert f32.data.dtype == np.float32
     np.testing.assert_allclose(np.asarray(f32.data)[0, 0], 2.25)
+
+
+def test_window_stats_conv_branch_matches_unrolled(monkeypatch):
+    """Huge kernels route to the conv/reduce-window formulation; its
+    results must match the unrolled pass (mean/sum/count exactly,
+    min/max exactly, std/var to f32 algebra)."""
+    import jax.numpy as jnp
+
+    import xrspatial_tpu.kernels.window as W
+    rng = np.random.default_rng(21)
+    data = jnp.asarray((rng.random((40, 60)) * 50).astype(np.float32))
+    data = data.at[5, 7].set(jnp.nan)
+    kernel = annulus_kernel(1, 1, 5.5, 2.0)
+    offsets = W.kernel_offsets(kernel)
+    stats = ("mean", "sum", "max", "min", "range", "std", "var")
+    ref = W._window_stats_unrolled(data, offsets, stats)
+    got = W._window_stats_conv(data, offsets, stats)
+    for s in ("mean", "sum", "max", "min", "range"):
+        np.testing.assert_allclose(np.asarray(got[s]), np.asarray(ref[s]),
+                                   rtol=1e-5, atol=1e-4, equal_nan=True,
+                                   err_msg=s)
+    for s in ("std", "var"):
+        np.testing.assert_allclose(np.asarray(got[s]), np.asarray(ref[s]),
+                                   rtol=1e-3, atol=1e-3, equal_nan=True,
+                                   err_msg=s)
+    # and the dispatcher picks conv when offsets exceed the cap
+    monkeypatch.setattr(W, "UNROLL_MAX_OFFSETS", 4)
+    got2 = W.window_stats(data, offsets, ("mean",))
+    np.testing.assert_allclose(np.asarray(got2["mean"]),
+                               np.asarray(ref["mean"]),
+                               rtol=1e-5, atol=1e-4, equal_nan=True)

@@ -21,7 +21,8 @@ import numpy as np
 from .convolution import convolve_2d, custom_kernel
 from .dataset_support import supports_dataset
 from .kernels.dispatch import run_stencil
-from .kernels.window import hotspots_classify, kernel_offsets, window_stats
+from .kernels.window import (UNROLL_MAX_OFFSETS, hotspots_classify,
+                             kernel_offsets, window_stats)
 from .utils import to_jax, wrap_like, x64
 from .xrlib import DataArray
 
@@ -117,7 +118,11 @@ def _stats_kernel_pallas(offsets: tuple, stats: tuple):
     def kern(block):
         h, w = block.shape
         # tile interiors need th > 2*ry (tiled) / a >=2 grid dim (halo
-        # windows); thin rasters take the fused-XLA path instead
+        # windows); thin rasters take the fused-XLA path instead, and
+        # huge kernels take the conv/reduce-window formulation (the
+        # unrolled Pallas bodies would be compile-pathological)
+        if len(offsets) > UNROLL_MAX_OFFSETS:
+            return _stats_kernel(offsets, stats)(block)
         if (tiled_radius_supported(ry, rx)
                 and h > 2 * ry + 8 and w > 2 * rx + 128):
             # classic-pipeline tiled kernel: ~2x the emit_pipeline variant

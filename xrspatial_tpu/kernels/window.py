@@ -44,14 +44,112 @@ def _shifted(padded, dy, dx, h, w, ry, rx):
     return jax.lax.dynamic_slice(padded, (ry + dy, rx + dx), (h, w))
 
 
-@partial(jax.jit, static_argnames=("offsets", "stats"))
-def window_stats(data, offsets: Tuple[Tuple[int, int], ...],
-                 stats: Tuple[str, ...]):
-    """Compute focal statistics over a masked window in one fused pass.
+# beyond this many footprint cells the unrolled shift/accumulate chain
+# is compile-pathological (a 2 km circle at 30 m cells is ~14k offsets:
+# tens of minutes through the remote compile service); the conv /
+# reduce-window formulation compiles as a handful of ops instead
+UNROLL_MAX_OFFSETS = 1024
 
-    Returns a dict of float32 (H, W) arrays, one per requested stat in
-    {mean, max, min, range, std, var, sum}.
+
+def _offsets_mask(offsets):
+    ry = max(abs(dy) for dy, _ in offsets)
+    rx = max(abs(dx) for _, dx in offsets)
+    mask = np.zeros((2 * ry + 1, 2 * rx + 1), np.float32)
+    for dy, dx in offsets:
+        mask[dy + ry, dx + rx] = 1.0
+    return mask, ry, rx
+
+
+@partial(jax.jit, static_argnames=("offsets", "stats"))
+def _window_stats_conv(data, offsets, stats):
+    """Large-kernel focal statistics without per-offset unrolling.
+
+    sum/count/sumsq lower to ONE lax.conv each (MXU); min/max decompose
+    the kernel mask into per-row contiguous runs, each served by one
+    XLA reduce_window.  NaN-exclusion semantics match the unrolled
+    path.  std/var use the algebraic centered-sum-of-squares around the
+    GLOBAL mean (exact shift-invariance; two-pass per-window deviations
+    would need a conv per output pixel) — f32-accurate for windows
+    whose local mean is not enormously far from the global mean, which
+    is the documented trade-off of this huge-kernel tail path.
     """
+    data = data.astype(jnp.float32)
+    h, w = data.shape
+    mask, ry, rx = _offsets_mask(offsets)
+    kf = jnp.asarray(mask)
+    fin = jnp.isfinite(data)
+    c = jnp.nanmean(data)
+    v0 = jnp.where(fin, data - c, 0.0)
+
+    def conv(x):
+        xp = jnp.pad(x, ((ry, ry), (rx, rx)))
+        return jax.lax.conv_general_dilated(
+            xp[None, None], kf[None, None], window_strides=(1, 1),
+            padding="VALID", preferred_element_type=jnp.float32)[0, 0]
+
+    need_sum = any(s in stats for s in ("sum", "mean", "std", "var"))
+    need_minmax = any(s in stats for s in ("min", "max", "range"))
+
+    out = {}
+    if need_sum:
+        cnt = conv(fin.astype(jnp.float32))
+        cnt = jnp.round(cnt)  # counts are exact ints below 2^24
+        ssum_c = conv(v0)
+        safe = jnp.maximum(cnt, 1.0)
+        mean = jnp.where(cnt > 0, ssum_c / safe + c, jnp.nan)
+        if "mean" in stats:
+            out["mean"] = mean
+        if "sum" in stats:
+            out["sum"] = ssum_c + cnt * c
+        if "std" in stats or "var" in stats:
+            ssq_c = conv(v0 * v0)
+            css = jnp.maximum(ssq_c - ssum_c * ssum_c / safe, 0.0)
+            var = jnp.where(cnt > 0, css / safe, jnp.nan)
+            if "var" in stats:
+                out["var"] = var
+            if "std" in stats:
+                out["std"] = jnp.sqrt(var)
+    if need_minmax:
+        neg = jnp.float32(-jnp.inf)
+        pos = jnp.float32(jnp.inf)
+        pmax = jnp.pad(jnp.where(fin, data, neg), ((ry, ry), (rx, rx)),
+                       constant_values=neg)
+        pmin = jnp.pad(jnp.where(fin, data, pos), ((ry, ry), (rx, rx)),
+                       constant_values=pos)
+        smax = jnp.full((h, w), neg)
+        smin = jnp.full((h, w), pos)
+        for r in range(mask.shape[0]):
+            row = mask[r]
+            # contiguous runs of 1s in this kernel row
+            j = 0
+            while j < row.shape[0]:
+                if row[j] != 1.0:
+                    j += 1
+                    continue
+                j0 = j
+                while j < row.shape[0] and row[j] == 1.0:
+                    j += 1
+                L = j - j0
+                rw = jax.lax.reduce_window(
+                    pmax, neg, jax.lax.max, (1, L), (1, 1), "VALID")
+                smax = jnp.maximum(smax, rw[r:r + h, j0:j0 + w])
+                rw = jax.lax.reduce_window(
+                    pmin, pos, jax.lax.min, (1, L), (1, 1), "VALID")
+                smin = jnp.minimum(smin, rw[r:r + h, j0:j0 + w])
+        smin = jnp.where(jnp.isinf(smin), jnp.nan, smin)
+        smax = jnp.where(jnp.isinf(smax), jnp.nan, smax)
+        if "max" in stats:
+            out["max"] = smax
+        if "min" in stats:
+            out["min"] = smin
+        if "range" in stats:
+            out["range"] = smax - smin
+    return out
+
+
+@partial(jax.jit, static_argnames=("offsets", "stats"))
+def _window_stats_unrolled(data, offsets: Tuple[Tuple[int, int], ...],
+                           stats: Tuple[str, ...]):
     data = data.astype(jnp.float32)
     h, w = data.shape
     ry = max(abs(dy) for dy, _ in offsets)
@@ -112,6 +210,21 @@ def window_stats(data, offsets: Tuple[Tuple[int, int], ...],
         if "std" in stats:
             out["std"] = jnp.sqrt(var)
     return out
+
+
+def window_stats(data, offsets: Tuple[Tuple[int, int], ...],
+                 stats: Tuple[str, ...]):
+    """Compute focal statistics over a masked window in one fused pass.
+
+    Returns a dict of float32 (H, W) arrays, one per requested stat in
+    {mean, max, min, range, std, var, sum}.  Kernels with more than
+    UNROLL_MAX_OFFSETS footprint cells take the conv / reduce-window
+    formulation (the unrolled shift chain would take tens of minutes to
+    compile); smaller kernels keep the fully-fused unrolled pass.
+    """
+    if len(offsets) > UNROLL_MAX_OFFSETS:
+        return _window_stats_conv(data, tuple(offsets), tuple(stats))
+    return _window_stats_unrolled(data, tuple(offsets), tuple(stats))
 
 
 @partial(jax.jit, static_argnames=())
