@@ -359,3 +359,17 @@ def test_window_stats_conv_branch_matches_unrolled(monkeypatch):
     np.testing.assert_allclose(np.asarray(got2["mean"]),
                                np.asarray(ref["mean"]),
                                rtol=1e-5, atol=1e-4, equal_nan=True)
+
+
+def test_window_stats_conv_all_nan_sum_is_zero():
+    # reference semantics: np.nansum of an all-NaN buffer is 0.0
+    import jax.numpy as jnp
+
+    import xrspatial_tpu.kernels.window as W
+    data = jnp.full((8, 9), jnp.nan)
+    kernel = circle_kernel(1, 1, 2)
+    offsets = W.kernel_offsets(kernel)
+    out = W._window_stats_conv(data, offsets, ("sum", "mean", "max"))
+    np.testing.assert_array_equal(np.asarray(out["sum"]), 0.0)
+    assert np.isnan(np.asarray(out["mean"])).all()
+    assert np.isnan(np.asarray(out["max"])).all()

@@ -77,22 +77,25 @@ def _window_stats_conv(data, offsets, stats):
     h, w = data.shape
     mask, ry, rx = _offsets_mask(offsets)
     kf = jnp.asarray(mask)
-    fin = jnp.isfinite(data)
+    ok = ~jnp.isnan(data)   # match the unrolled path: inf participates
     c = jnp.nanmean(data)
-    v0 = jnp.where(fin, data - c, 0.0)
+    v0 = jnp.where(ok, data - c, 0.0)
 
     def conv(x):
         xp = jnp.pad(x, ((ry, ry), (rx, rx)))
+        # HIGHEST: the TPU conv default rounds operands to bfloat16,
+        # which would cost ~8 mantissa bits on every sum/mean
         return jax.lax.conv_general_dilated(
             xp[None, None], kf[None, None], window_strides=(1, 1),
-            padding="VALID", preferred_element_type=jnp.float32)[0, 0]
+            padding="VALID", preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST)[0, 0]
 
     need_sum = any(s in stats for s in ("sum", "mean", "std", "var"))
     need_minmax = any(s in stats for s in ("min", "max", "range"))
 
     out = {}
     if need_sum:
-        cnt = conv(fin.astype(jnp.float32))
+        cnt = conv(ok.astype(jnp.float32))
         cnt = jnp.round(cnt)  # counts are exact ints below 2^24
         ssum_c = conv(v0)
         safe = jnp.maximum(cnt, 1.0)
@@ -100,7 +103,9 @@ def _window_stats_conv(data, offsets, stats):
         if "mean" in stats:
             out["mean"] = mean
         if "sum" in stats:
-            out["sum"] = ssum_c + cnt * c
+            # np.nansum of an all-NaN buffer is 0.0 (reference _calc_sum);
+            # cnt*c would be 0*NaN there
+            out["sum"] = jnp.where(cnt > 0, ssum_c + cnt * c, 0.0)
         if "std" in stats or "var" in stats:
             ssq_c = conv(v0 * v0)
             css = jnp.maximum(ssq_c - ssum_c * ssum_c / safe, 0.0)
@@ -112,9 +117,9 @@ def _window_stats_conv(data, offsets, stats):
     if need_minmax:
         neg = jnp.float32(-jnp.inf)
         pos = jnp.float32(jnp.inf)
-        pmax = jnp.pad(jnp.where(fin, data, neg), ((ry, ry), (rx, rx)),
+        pmax = jnp.pad(jnp.where(ok, data, neg), ((ry, ry), (rx, rx)),
                        constant_values=neg)
-        pmin = jnp.pad(jnp.where(fin, data, pos), ((ry, ry), (rx, rx)),
+        pmin = jnp.pad(jnp.where(ok, data, pos), ((ry, ry), (rx, rx)),
                        constant_values=pos)
         smax = jnp.full((h, w), neg)
         smin = jnp.full((h, w), pos)
@@ -237,7 +242,8 @@ def _convolve_valid(data, kernel):
     out = jax.lax.conv_general_dilated(
         data[None, None], kernel[None, None],
         window_strides=(1, 1), padding="VALID",
-        preferred_element_type=jnp.float32)[0, 0]
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST)[0, 0]
     ry = (kernel.shape[0] - 1) // 2
     rx = (kernel.shape[1] - 1) // 2
     return jnp.pad(out, ((ry, ry), (rx, rx)), constant_values=jnp.nan)

@@ -925,9 +925,13 @@ def crosstab(
         if has_nodata:
             unique_cats = unique_cats[unique_cats != nodata_values]
     elif (isinstance(vdata, jax.Array) and not isinstance(vdata, np.ndarray)
-            and jax.default_backend() == "tpu"):
+            and jax.default_backend() == "tpu"
+            and not jnp.issubdtype(vdata.dtype, jnp.integer)):
         # device-resident float categories: sort-unique on device (labels
-        # round through f32 — documented deviation for this path)
+        # round through f32 — documented deviation for this path).
+        # Integer rasters with a wide value range skip this (f32 would
+        # merge codes above 2^24 BEFORE the exact-int path could act)
+        # and fall through to the exact host unique below
         unique_cats = _unique_float_device(vdata, nodata_values).astype(
             np.dtype(vdata.dtype))
     else:
@@ -1107,7 +1111,15 @@ def regions(raster: DataArray, neighborhood: int = 4,
     out = np.full(labels.shape, np.nan, dtype=out_dt)
     order = np.argsort(np.argsort(first_idx))
     out.ravel()[finite] = order[inverse] + 1
-    result = DataArray(jnp.asarray(out), name=name, dims=raster.dims,
+    if out_dt is np.float64:
+        # jnp.asarray would silently downcast to f32 (x64 off) and
+        # re-collide the ids; scope x64 for the upload
+        from .utils import x64
+        with x64():
+            payload = jnp.asarray(out)
+    else:
+        payload = jnp.asarray(out)
+    result = DataArray(payload, name=name, dims=raster.dims,
                        attrs=dict(raster.attrs))
     for cname, cval in raster.coords.items():
         result.coords[cname] = cval
