@@ -101,3 +101,15 @@ def test_canvas_like_identity_size():
     out = canvas_like(agg, width=4, height=3)
     # y ascending output vs input's descending coords -> rows flipped
     np.testing.assert_array_equal(np.asarray(out.data), data[::-1])
+
+
+def test_resolution_accepts_numpy_scalars():
+    from xrspatial_tpu.utils import get_dataarray_resolution
+    from xrspatial_tpu.xrlib import DataArray
+    agg = DataArray(np.zeros((4, 5), np.float32), dims=("y", "x"),
+                    attrs={"res": (np.float32(5.0), np.int64(7))})
+    agg["y"] = np.arange(4.0)
+    agg["x"] = np.arange(5.0)
+    assert get_dataarray_resolution(agg) == (5.0, 7)
+    agg.attrs["res"] = np.float32(2.5)
+    assert get_dataarray_resolution(agg) == (2.5, 2.5)

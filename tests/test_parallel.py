@@ -312,3 +312,50 @@ def test_viewshed_sharded_xdraw_parity(mesh):
     # (different XLA fusion between the two programs)
     np.testing.assert_array_equal(out == -1, ref == -1)
     np.testing.assert_allclose(out, ref, rtol=1e-5)
+
+
+def jnp_asarray(x):
+    import jax.numpy as jnp
+    return jnp.asarray(x)
+
+
+def test_foreign_mesh_takes_single_chip_path():
+    # a user sharding over a mesh WITHOUT ('y','x') axes must not crash
+    # the halo engine; ops take the plain jit path
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+    devs = np.asarray(jax.devices()[:4]).reshape(2, 2)
+    foreign = Mesh(devs, axis_names=("i", "j"))
+    rng = np.random.default_rng(3)
+    data = (rng.random((8, 8)) * 10).astype(np.float32)
+    arr = jax.device_put(jnp_asarray(data),
+                         NamedSharding(foreign, P("i", "j")))
+    agg = create_test_raster(data, attrs={"res": (1, 1)})
+    agg.data = arr
+    out = np.asarray(slope(agg).data)
+    ref_agg = create_test_raster(data, attrs={"res": (1, 1)})
+    np.testing.assert_allclose(out, np.asarray(slope(ref_agg).data),
+                               equal_nan=True, rtol=1e-6)
+
+
+def test_run_stencil_3d_leading_dim():
+    # distribute() supports leading dims; run_stencil must too
+    import jax.numpy as jnp
+    from xrspatial_tpu.kernels.dispatch import run_stencil
+    mesh = make_raster_mesh(2, 2)
+    rng = np.random.default_rng(4)
+    data = (rng.random((3, 8, 8)) * 10).astype(np.float32)
+
+    @jax.jit
+    def mean3x3(a):
+        h, w = a.shape[-2], a.shape[-1]
+        p = jnp.pad(a, ((0, 0), (1, 1), (1, 1)), constant_values=jnp.nan)
+        acc = jnp.zeros_like(a)
+        for dy in (0, 1, 2):
+            for dx in (0, 1, 2):
+                acc = acc + p[:, dy:dy + h, dx:dx + w]
+        return acc / 9.0
+
+    ref = np.asarray(mean3x3(jnp.asarray(data)))
+    sharded = distribute(jnp.asarray(data), mesh)
+    out = np.asarray(run_stencil(mean3x3, 1, sharded))
+    np.testing.assert_allclose(out, ref, equal_nan=True, rtol=1e-6)

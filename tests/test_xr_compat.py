@@ -139,3 +139,42 @@ def test_assign_attrs_coords_where_fillna():
     masked = da.where(da > 2)
     assert np.isnan(masked.values[0, 0])
     assert masked.values[1, 1] == 4.0
+
+
+def test_reduction_dim_and_axis():
+    da = DataArray(np.arange(12, dtype=np.float32).reshape(3, 4),
+                   dims=("y", "x"))
+    m = da.mean(dim="y")
+    assert m.shape == (4,) and m.dims == ("x",)
+    np.testing.assert_allclose(np.asarray(m.data), [4., 5., 6., 7.])
+    s = da.sum(axis=1)
+    assert s.shape == (3,) and s.dims == ("y",)
+    # full reduction still works
+    assert float(da.max().data) == 11.0
+    with pytest.raises(ValueError):
+        da.mean(dim="z")
+
+
+def test_getitem_ellipsis_dims():
+    d3 = DataArray(np.zeros((2, 3, 4), np.float32), dims=("b", "y", "x"))
+    d3["y"] = np.arange(3.0)
+    d3["x"] = np.arange(4.0)
+    out = d3[..., 0]
+    assert out.dims == ("b", "y")
+    np.testing.assert_array_equal(np.asarray(out["y"].data), np.arange(3.0))
+    assert "x" not in out.coords
+    out2 = d3[0, ...]
+    assert out2.dims == ("y", "x")
+
+
+def test_concat_existing_dim_keeps_coord():
+    a = DataArray(np.zeros((2, 3), np.float32), dims=("y", "x"))
+    a["y"] = np.array([0.0, 1.0])
+    a["x"] = np.arange(3.0)
+    b = DataArray(np.ones((2, 3), np.float32), dims=("y", "x"))
+    b["y"] = np.array([2.0, 3.0])
+    b["x"] = np.arange(3.0)
+    out = concat([a, b], "y")
+    assert out.shape == (4, 3)
+    np.testing.assert_array_equal(np.asarray(out["y"].data),
+                                  [0.0, 1.0, 2.0, 3.0])

@@ -41,10 +41,16 @@ def _sharded_runner(kernel: Callable, mesh, halo: HaloSpec,
         h, w = data.shape[-2], data.shape[-1]
         hp = -(-h // n_y) * n_y
         wp = -(-w // n_x) * n_x
+        if not jnp.issubdtype(data.dtype, jnp.floating):
+            # NaN pad/boundary semantics need a float payload (NaN cast
+            # to int is silent garbage); the stencil kernels compute in
+            # f32 anyway
+            data = data.astype(jnp.float32)
         if (hp, wp) != (h, w):
-            data = jnp.pad(data, ((0, hp - h), (0, wp - w)),
-                           constant_values=jnp.nan)
-        data = jax.lax.with_sharding_constraint(data, sharding)
+            pads = [(0, 0)] * (data.ndim - 2) + [(0, hp - h), (0, wp - w)]
+            data = jnp.pad(data, pads, constant_values=jnp.nan)
+        data = jax.lax.with_sharding_constraint(
+            data, raster_sharding(mesh, data.ndim))
         out = mapped(data, *args)
         return out[..., :h, :w]
 

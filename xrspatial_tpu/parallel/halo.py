@@ -112,6 +112,11 @@ def get_raster_mesh(arr) -> Optional[Mesh]:
     mesh = sharding.mesh
     if mesh.size <= 1:
         return None
+    if not {"y", "x"} <= set(mesh.axis_names):
+        # a foreign mesh (user sharding with other axis names): the halo
+        # engine's specs are written against ('y', 'x') — take the
+        # single-chip path rather than KeyError inside run_stencil
+        return None
     spec = sharding.spec
     # sharded over named axes on the last two dims?
     trailing = tuple(spec[-2:]) if len(spec) >= 2 else ()
@@ -152,20 +157,20 @@ def halo_extend(block, halo: HaloSpec, mesh: Mesh):
 
     out = block
     if rx > 0:
-        left_halo = _shift_from_prev(out[:, -rx:], "x", n_x)
-        right_halo = _shift_from_next(out[:, :rx], "x", n_x)
+        left_halo = _shift_from_prev(out[..., -rx:], "x", n_x)
+        right_halo = _shift_from_next(out[..., :rx], "x", n_x)
         xi = jax.lax.axis_index("x")
         left_halo = jnp.where(xi == 0, _nan_like(left_halo), left_halo)
         right_halo = jnp.where(xi == n_x - 1, _nan_like(right_halo),
                                right_halo)
-        out = jnp.concatenate([left_halo, out, right_halo], axis=1)
+        out = jnp.concatenate([left_halo, out, right_halo], axis=-1)
     if ry > 0:
-        top_halo = _shift_from_prev(out[-ry:, :], "y", n_y)
-        bot_halo = _shift_from_next(out[:ry, :], "y", n_y)
+        top_halo = _shift_from_prev(out[..., -ry:, :], "y", n_y)
+        bot_halo = _shift_from_next(out[..., :ry, :], "y", n_y)
         yi = jax.lax.axis_index("y")
         top_halo = jnp.where(yi == 0, _nan_like(top_halo), top_halo)
         bot_halo = jnp.where(yi == n_y - 1, _nan_like(bot_halo), bot_halo)
-        out = jnp.concatenate([top_halo, out, bot_halo], axis=0)
+        out = jnp.concatenate([top_halo, out, bot_halo], axis=-2)
     return out
 
 
@@ -193,9 +198,10 @@ def stencil_shard_map(kernel: Callable, mesh: Mesh, halo: HaloSpec,
 
     def run(data, *args):
         n_args = len(args)
+        in_spec = P(*((None,) * (data.ndim - 2) + ("y", "x")))
         mapped = shard_map(
             per_shard, mesh=mesh,
-            in_specs=(P("y", "x"),) + (P(),) * n_args,
+            in_specs=(in_spec,) + (P(),) * n_args,
             out_specs=out_spec,
             check_rep=False,
         )

@@ -72,10 +72,10 @@ def get_dataarray_resolution(agg, xdim: Optional[str] = None,
         cellsize = agg.attrs.get("res")
         if (isinstance(cellsize, (tuple, list, np.ndarray))
                 and len(cellsize) == 2
-                and isinstance(cellsize[0], (int, float))
-                and isinstance(cellsize[1], (int, float))):
+                and isinstance(cellsize[0], (int, float, np.number))
+                and isinstance(cellsize[1], (int, float, np.number))):
             return cellsize[0], cellsize[1]
-        if isinstance(cellsize, (int, float)):
+        if isinstance(cellsize, (int, float, np.number)):
             return cellsize, cellsize
         return calc_res(agg, xdim, ydim)
     except Exception:
@@ -160,8 +160,7 @@ def _sample_windows_min_max(data, max_window_elems: int = 65536,
 
     Reference: utils.py:731 (same intent — cheap bound estimates).
     """
-    arr = np.asarray(data)
-    flat = arr.reshape(-1)
+    flat = data.reshape(-1)
     n = flat.size
     if n == 0:
         return np.nan, np.nan
@@ -169,7 +168,9 @@ def _sample_windows_min_max(data, max_window_elems: int = 65536,
     starts = np.linspace(0, max(n - win, 0), num=max(windows, 1)).astype(np.int64)
     vmin, vmax = np.inf, -np.inf
     for s in starts:
-        chunk = flat[s:s + win]
+        # fetch only the sampled window: np.asarray of the FULL payload
+        # costs ~1.3 s per 64 MB through the device tunnel
+        chunk = np.asarray(flat[int(s):int(s) + win])
         finite = chunk[np.isfinite(chunk)] if chunk.dtype.kind == "f" else chunk
         if finite.size:
             vmin = min(vmin, float(finite.min()))

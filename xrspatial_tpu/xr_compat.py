@@ -264,6 +264,14 @@ class DataArray:
         # best-effort dims/coords propagation for basic slicing
         if not isinstance(key, tuple):
             key = (key,)
+        if any(k is Ellipsis for k in key):
+            # expand ... into full slices so positional dim matching below
+            # stays aligned (d3[..., 0] must drop the LAST dim, not walk
+            # the keys against the leading dims)
+            i = key.index(Ellipsis)
+            explicit = len(key) - 1
+            fill = (slice(None),) * (len(self._dims) - explicit)
+            key = key[:i] + fill + key[i + 1:]
         new_dims = []
         new_coords = {}
         ki = 0
@@ -361,29 +369,57 @@ class DataArray:
         return self.values
 
     # -- reductions --------------------------------------------------------
-    def _reduce(self, fn, **kw):
-        out = fn(self._data, **kw)
+    def _reduce(self, fn, dim=None, axis=None, **kw):
+        if kw:
+            raise TypeError(
+                f"unsupported reduction arguments {sorted(kw)}; this "
+                "xarray-compat subset accepts dim=, axis=, skipna=")
+        if dim is not None and axis is not None:
+            raise ValueError("cannot supply both 'dim' and 'axis'")
+        if dim is not None:
+            dims = [dim] if isinstance(dim, str) else list(dim)
+            for d in dims:
+                if d not in self._dims:
+                    raise ValueError(f"dimension {d!r} not in {self._dims}")
+            axis = tuple(self._dims.index(d) for d in dims)
+        out = fn(self._data) if axis is None else fn(self._data, axis=axis)
         if not _is_array(out):
             out = np.asarray(out)
-        return DataArray(out, name=self.name, attrs=dict(self._attrs))
+        if axis is None:
+            return DataArray(out, name=self.name, attrs=dict(self._attrs))
+        axes = (axis,) if isinstance(axis, int) else tuple(axis)
+        axes = tuple(a % len(self._dims) for a in axes)
+        kept = [d for i, d in enumerate(self._dims) if i not in axes]
+        res = DataArray(out, name=self.name, dims=tuple(kept),
+                        attrs=dict(self._attrs))
+        for d in kept:
+            if d in self._coords:
+                res._coords[d] = self._coords[d]
+        return res
 
-    def min(self, **kw):
-        return self._reduce(np.nanmin if kw.pop("skipna", True) else np.min)
+    def min(self, dim=None, axis=None, **kw):
+        return self._reduce(np.nanmin if kw.pop("skipna", True) else np.min,
+                            dim, axis, **kw)
 
-    def max(self, **kw):
-        return self._reduce(np.nanmax if kw.pop("skipna", True) else np.max)
+    def max(self, dim=None, axis=None, **kw):
+        return self._reduce(np.nanmax if kw.pop("skipna", True) else np.max,
+                            dim, axis, **kw)
 
-    def mean(self, **kw):
-        return self._reduce(np.nanmean if kw.pop("skipna", True) else np.mean)
+    def mean(self, dim=None, axis=None, **kw):
+        return self._reduce(np.nanmean if kw.pop("skipna", True) else np.mean,
+                            dim, axis, **kw)
 
-    def sum(self, **kw):
-        return self._reduce(np.nansum if kw.pop("skipna", True) else np.sum)
+    def sum(self, dim=None, axis=None, **kw):
+        return self._reduce(np.nansum if kw.pop("skipna", True) else np.sum,
+                            dim, axis, **kw)
 
-    def std(self, **kw):
-        return self._reduce(np.nanstd if kw.pop("skipna", True) else np.std)
+    def std(self, dim=None, axis=None, **kw):
+        return self._reduce(np.nanstd if kw.pop("skipna", True) else np.std,
+                            dim, axis, **kw)
 
-    def var(self, **kw):
-        return self._reduce(np.nanvar if kw.pop("skipna", True) else np.var)
+    def var(self, dim=None, axis=None, **kw):
+        return self._reduce(np.nanvar if kw.pop("skipna", True) else np.var,
+                            dim, axis, **kw)
 
     # -- arithmetic --------------------------------------------------------
     def _binop(self, other, op, reflexive=False):
@@ -507,8 +543,10 @@ class DataArray:
                                       self._data))
 
     def expand_dims(self, dim, axis=0) -> "DataArray":
-        data = self._data[(slice(None),) * axis + (None,)] if False else np.expand_dims(
-            _to_numpy(self._data), axis) if isinstance(self._data, np.ndarray) else jnp.expand_dims(self._data, axis)
+        if isinstance(self._data, np.ndarray):
+            data = np.expand_dims(self._data, axis)
+        else:
+            data = jnp.expand_dims(self._data, axis)
         dims = list(self._dims)
         dims.insert(axis, dim)
         new = DataArray(data, dims=dims, name=self.name, attrs=dict(self._attrs))
@@ -681,6 +719,15 @@ def concat(arrays: Sequence[DataArray], dim: Union[str, Any]) -> DataArray:
         for k, v in first.coords.items():
             if dim_name not in v.dims:
                 out._coords[k] = v
+        # the concat-dim coordinate concatenates too (xarray semantics);
+        # dropping it broke get_dataarray_resolution on concatenated
+        # rasters
+        if all(dim_name in a.coords for a in arrays):
+            cvals = np.concatenate(
+                [_to_numpy(a.coords[dim_name]._data) for a in arrays])
+            out._coords[dim_name] = DataArray(
+                cvals, dims=(dim_name,), name=dim_name,
+                attrs=dict(first.coords[dim_name].attrs))
         return out
 
     data = xp.stack([a._data for a in arrays], axis=0)
