@@ -213,3 +213,11 @@ def test_quantile_docstring_golden():
     finite = out[np.isfinite(out)]
     assert finite.min() == 0.0 and finite.max() == 4.0
     assert (np.diff(finite) >= 0).all()
+
+
+def test_equal_interval_constant_raster():
+    # the reference raises ZeroDivisionError here; we classify everything
+    # into one class instead (documented graceful deviation)
+    agg = create_test_raster(np.ones((3, 4), dtype=np.float32))
+    out = np.asarray(equal_interval(agg, k=3).data)
+    assert (out == 0).all()

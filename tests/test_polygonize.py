@@ -52,8 +52,16 @@ def test_connectivity_4_vs_8():
                      [0, 1]], dtype=np.int64)
     c4, p4 = polygonize(DataArray(data))
     assert len(c4) == 4  # all four cells separate regions
+    # 8-connectivity: the diagonal cells form ONE region per value, but a
+    # diagonal junction cannot be a single valid simple-features ring
+    # (the reference emits an OGC-invalid self-touching ring there); we
+    # emit one VALID polygon entry per positive ring instead
     c8, p8 = polygonize(DataArray(data), connectivity=8)
-    assert len(c8) == 2  # diagonals join
+    assert sorted(c8) == [0, 0, 1, 1]
+    from xrspatial_tpu.experimental.polygonize import _signed_area
+    for rings in p8:
+        assert len(rings) == 1              # no bogus holes
+        assert _signed_area(rings[0]) == 1.0  # each cell, correct area
 
 
 def test_mask():

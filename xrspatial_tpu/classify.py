@@ -121,7 +121,7 @@ def quantile(agg, k: int = 4, name: Optional[str] = 'quantile') -> DataArray:
     data = to_jax(agg)
     q = _quantile_bins(data, k)
     if q.shape[0] < k:
-        print("Quantile Warning: Not enough unique values"
+        print("Quantile Warning: Not enough unique values "
               "for k classes (using {} bins)".format(q.shape[0]))
         k = q.shape[0]
     out = _bin(data, q, np.arange(k))
@@ -158,10 +158,15 @@ def equal_interval(agg, k: int = 5,
     mn, mx = _min_max_jit(data)
     min_data, max_data = float(mn), float(mx)
     width = (max_data - min_data) / k
-    cuts = np.arange(min_data + width, max_data + width, width)
-    if cuts.shape[0] > k:
-        cuts = cuts[0:k]
-    cuts[-1] = max_data
+    if width == 0 or not np.isfinite(width):
+        # constant raster: one class (the reference crashes with
+        # ZeroDivisionError here; degrading gracefully instead)
+        cuts = np.array([max_data])
+    else:
+        cuts = np.arange(min_data + width, max_data + width, width)
+        if cuts.shape[0] > k:
+            cuts = cuts[0:k]
+        cuts[-1] = max_data
     out = _bin(data, cuts, np.arange(cuts.shape[0]))
     return wrap_like(agg, out, name)
 

@@ -43,7 +43,7 @@ def query_layer(layer, where, token=None, outFields='*', chunkSize=100,
     }
     ids_req = requests.post(url, data=params)
     ids_req.raise_for_status()
-    ids_response = ids_req.json().get('objectIds')
+    ids_response = ids_req.json().get('objectIds') or []  # null = no rows
     params['returnIdsOnly'] = False
     params['where'] = ''
 

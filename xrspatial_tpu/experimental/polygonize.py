@@ -128,6 +128,18 @@ def _signed_area(pts: np.ndarray) -> float:
     return 0.5 * float(np.sum(x[:-1] * y[1:] - x[1:] * y[:-1]))
 
 
+def _ring_contains(ring: np.ndarray, px: float, py: float) -> bool:
+    """Even-odd ray cast; the query point is a hole-ring vertex, so
+    offset it off the lattice to avoid on-boundary ambiguity (rings sit
+    on integer grid corners)."""
+    px, py = px + 0.25, py + 0.25
+    x, y = ring[:-1, 0], ring[:-1, 1]
+    x2, y2 = ring[1:, 0], ring[1:, 1]
+    crosses = ((y > py) != (y2 > py)) & (
+        px < x + (py - y) * (x2 - x) / np.where(y2 == y, 1.0, y2 - y))
+    return bool(np.sum(crosses) % 2)
+
+
 def polygonize(
     raster: DataArray,
     mask: Optional[DataArray] = None,
@@ -177,28 +189,37 @@ def polygonize(
     polygon_points: List[List[np.ndarray]] = []
     for region in range(1, n_regions + 1):
         loops = _region_loops(labels, region, connectivity == 8)
-        exterior, holes = None, []
-        best_area = -np.inf
-        for lp in loops:
-            area = _signed_area(lp)
-            if area > best_area:
-                if exterior is not None:
-                    holes.append(exterior)
-                exterior = lp
-                best_area = area
-            else:
-                holes.append(lp)
-        rings = [exterior] + holes
-        if transform is not None:
-            rings = [
-                np.stack([transform[0] * r[:, 0] + transform[1] * r[:, 1]
-                          + transform[2],
-                          transform[3] * r[:, 0] + transform[4] * r[:, 1]
-                          + transform[5]], axis=1)
-                for r in rings]
+        # orientation classifies rings: positive (exterior) vs negative
+        # (hole).  Under 8-connectivity a diagonal-touching region traces
+        # as SEVERAL disjoint positive rings (the reference emits one
+        # self-touching — OGC-invalid — ring there); we emit one polygon
+        # per positive ring instead, assigning holes by containment.
+        pos = [lp for lp in loops if _signed_area(lp) > 0]
+        neg = [lp for lp in loops if _signed_area(lp) <= 0]
+        if not pos:  # degenerate; keep old max-area behavior
+            pos = [max(loops, key=_signed_area)]
+            neg = [lp for lp in loops if lp is not pos[0]]
+        groups = [[ext] for ext in pos]
+        for hole in neg:
+            hx, hy = hole[0, 0], hole[0, 1]
+            target = 0
+            for gi, ext in enumerate(pos):
+                if _ring_contains(ext, hx, hy):
+                    target = gi
+                    break
+            groups[target].append(hole)
         first = np.argwhere(labels == region)[0]
-        column.append(values[first[0], first[1]])
-        polygon_points.append(rings)
+        val = values[first[0], first[1]]
+        for rings in groups:
+            if transform is not None:
+                rings = [
+                    np.stack([transform[0] * r[:, 0] + transform[1] * r[:, 1]
+                              + transform[2],
+                              transform[3] * r[:, 0] + transform[4] * r[:, 1]
+                              + transform[5]], axis=1)
+                    for r in rings]
+            column.append(val)
+            polygon_points.append(rings)
 
     if return_type == "numpy":
         return column, polygon_points
