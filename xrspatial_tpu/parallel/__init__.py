@@ -12,10 +12,11 @@ distributed path (the single-backend analog of the reference's
 array-type dispatch, utils.py:117-143).
 """
 
-from .halo import (HaloSpec, distribute, halo_extend,  # noqa: F401
-                   make_raster_mesh, raster_sharding, stencil_shard_map)
+from .halo import (HaloSpec, distribute, get_raster_mesh,  # noqa: F401
+                   halo_extend, make_raster_mesh, raster_sharding,
+                   stencil_shard_map)
 
 __all__ = [
-    "HaloSpec", "distribute", "halo_extend", "make_raster_mesh",
-    "raster_sharding", "stencil_shard_map",
+    "HaloSpec", "distribute", "get_raster_mesh", "halo_extend",
+    "make_raster_mesh", "raster_sharding", "stencil_shard_map",
 ]
