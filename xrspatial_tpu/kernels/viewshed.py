@@ -683,10 +683,16 @@ def viewshed_grid_los_sharded(data, mesh, vp_row: int, vp_col: int,
             m = jax.lax.pmax(m_part, ("y", "x"))
         else:
             # fewer devices than octants: a per-device single scan would
-            # DROP octants (wrong visibility); run the stacked 4-scan on
-            # every device instead (replicated compute, no combine)
-            m_e, m_w, m_s, m_n = _halfplane_scan4(
-                slope_self, dy_vec, dx_vec, vp_r, vp_c, shape)
+            # DROP octants (wrong visibility); run all 4 scans on every
+            # device instead (replicated compute, no combine).  Same HBM
+            # gate as the single-device path: the stacked scan's padded
+            # (N, 4, N) input + output doubles footprint at 16k^2
+            if max(shape) <= 8192:
+                m_e, m_w, m_s, m_n = _halfplane_scan4(
+                    slope_self, dy_vec, dx_vec, vp_r, vp_c, shape)
+            else:
+                m_e, m_w, m_s, m_n = (f(slope_self, dy_vec, dx_vec,
+                                        vp_r, vp_c) for f in _XDRAW_SCANS)
             parts = (m_e, m_w, m_s, m_n)
             m = jnp.full(shape, -jnp.inf)
             for mk, mi in zip(masks, parts):

@@ -129,19 +129,46 @@ def _nan_like(x):
     return jnp.full_like(x, jnp.nan)
 
 
-def _shift_from_prev(block_edge, axis_name, n):
-    """Each shard receives `block_edge` from its predecessor along the axis."""
-    if n == 1:
-        return _nan_like(block_edge)
-    return jax.lax.ppermute(block_edge, axis_name,
-                            [(i, i + 1) for i in range(n - 1)])
+def _halo_from_prev(out, axis: int, r: int, axis_name: str, n: int):
+    """Width-r halo PRECEDING the local block along `axis`.
+
+    Gathered from up to k = ceil(r / local_size) predecessor shards: each
+    offset j is ONE ppermute (the ICI routes multi-hop shifts directly);
+    offsets 1..k-1 carry whole blocks, offset k the partial remainder.
+    Beyond the mesh edge the halo is NaN (``boundary=np.nan`` contract).
+    """
+    size = out.shape[axis]
+    k = -(-r // size)
+    idx = jax.lax.axis_index(axis_name)
+    parts = []
+    for j in range(k, 0, -1):  # farthest shard owns the leftmost strip
+        take = size if j < k else r - (k - 1) * size
+        strip = jax.lax.slice_in_dim(out, size - take, size, axis=axis)
+        if n - j <= 0:
+            parts.append(_nan_like(strip))
+            continue
+        recv = jax.lax.ppermute(strip, axis_name,
+                                [(i, i + j) for i in range(n - j)])
+        parts.append(jnp.where(idx < j, _nan_like(recv), recv))
+    return parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=axis)
 
 
-def _shift_from_next(block_edge, axis_name, n):
-    if n == 1:
-        return _nan_like(block_edge)
-    return jax.lax.ppermute(block_edge, axis_name,
-                            [(i, i - 1) for i in range(1, n)])
+def _halo_from_next(out, axis: int, r: int, axis_name: str, n: int):
+    """Width-r halo FOLLOWING the local block along `axis` (mirror)."""
+    size = out.shape[axis]
+    k = -(-r // size)
+    idx = jax.lax.axis_index(axis_name)
+    parts = []
+    for j in range(1, k + 1):  # nearest shard owns the leftmost strip
+        take = size if j < k else r - (k - 1) * size
+        strip = jax.lax.slice_in_dim(out, 0, take, axis=axis)
+        if n - j <= 0:
+            parts.append(_nan_like(strip))
+            continue
+        recv = jax.lax.ppermute(strip, axis_name,
+                                [(i, i - j) for i in range(j, n)])
+        parts.append(jnp.where(idx >= n - j, _nan_like(recv), recv))
+    return parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=axis)
 
 
 def halo_extend(block, halo: HaloSpec, mesh: Mesh):
@@ -150,6 +177,10 @@ def halo_extend(block, halo: HaloSpec, mesh: Mesh):
     Must be called inside shard_map over `mesh`.  Outer boundary is NaN
     (the reference's ``boundary=np.nan`` contract).  Returns an array of
     shape (h + 2*ry, w + 2*rx); corners included (two-phase exchange).
+    Radii wider than the local shard gather from multiple neighbor
+    offsets (⌈r/shard⌉ ppermutes per side) — the analog of the
+    reference's dask rechunk-for-depth (proximity.py:603-627), without
+    ever replicating the raster.
     """
     ry, rx = halo.ry, halo.rx
     n_y = mesh.shape["y"]
@@ -157,19 +188,14 @@ def halo_extend(block, halo: HaloSpec, mesh: Mesh):
 
     out = block
     if rx > 0:
-        left_halo = _shift_from_prev(out[..., -rx:], "x", n_x)
-        right_halo = _shift_from_next(out[..., :rx], "x", n_x)
-        xi = jax.lax.axis_index("x")
-        left_halo = jnp.where(xi == 0, _nan_like(left_halo), left_halo)
-        right_halo = jnp.where(xi == n_x - 1, _nan_like(right_halo),
-                               right_halo)
+        ax = out.ndim - 1
+        left_halo = _halo_from_prev(out, ax, rx, "x", n_x)
+        right_halo = _halo_from_next(out, ax, rx, "x", n_x)
         out = jnp.concatenate([left_halo, out, right_halo], axis=-1)
     if ry > 0:
-        top_halo = _shift_from_prev(out[..., -ry:, :], "y", n_y)
-        bot_halo = _shift_from_next(out[..., :ry, :], "y", n_y)
-        yi = jax.lax.axis_index("y")
-        top_halo = jnp.where(yi == 0, _nan_like(top_halo), top_halo)
-        bot_halo = jnp.where(yi == n_y - 1, _nan_like(bot_halo), bot_halo)
+        ax = out.ndim - 2
+        top_halo = _halo_from_prev(out, ax, ry, "y", n_y)
+        bot_halo = _halo_from_next(out, ax, ry, "y", n_y)
         out = jnp.concatenate([top_halo, out, bot_halo], axis=-2)
     return out
 

@@ -147,7 +147,6 @@ def _segment_stats_sorted(values, seg_ids, num_segments, nodata, has_nodata):
     return ssum, cnt, css.astype(jnp.float32), smin, smax
 
 
-@partial(jax.jit, static_argnames=("num_segments", "has_nodata", "chunk"))
 def _segment_stats_scatter(values, seg_ids, num_segments, nodata,
                            has_nodata, chunk=16384):
     """Scatter-based variant (jax.ops.segment_*), chunk-compensated.
@@ -155,9 +154,24 @@ def _segment_stats_scatter(values, seg_ids, num_segments, nodata,
     Fallback for zone counts beyond the matmul ceiling.  A single flat
     segment_sum accumulates each bin sequentially in f32 and drifts
     ~3e-3 at 16.7M elements; chunking bounds the sequential run to
-    `chunk` adds and the cross-chunk combine is an XLA tree reduction,
-    which keeps sums inside the 1e-5 parity contract.
+    `chunk` adds, and the cross-chunk accumulators plus the centered
+    sum-of-squares run in genuine float64.
+
+    x64 MUST be enabled at this boundary, outside the jit: `jax.enable_x64`
+    has no effect once a trace is underway, so an in-body `with x64():`
+    silently demotes every "f64" accumulator to f32 (and the catastrophic
+    cancellation in css returns — std 13.7 vs a true 0.003 on a
+    low-spread/large-mean zone).
     """
+    from .utils import x64
+    with x64():
+        return _segment_stats_scatter_impl(values, seg_ids, num_segments,
+                                           nodata, has_nodata, chunk)
+
+
+@partial(jax.jit, static_argnames=("num_segments", "has_nodata", "chunk"))
+def _segment_stats_scatter_impl(values, seg_ids, num_segments, nodata,
+                                has_nodata, chunk=16384):
     v = values.ravel().astype(jnp.float32)
     valid = jnp.isfinite(v)
     if has_nodata:
@@ -185,29 +199,43 @@ def _segment_stats_scatter(values, seg_ids, num_segments, nodata,
 
     # fold over chunks with f64 accumulators: O(n) memory (a vmap over
     # chunks would materialize (n_chunks, n) scatter results — gigabytes
-    # in exactly the million-zone regime this path serves) and the
-    # cross-chunk adds are f64-exact
+    # in exactly the million-zone regime this path serves); the caller
+    # enables x64 before tracing so these dtypes are honoured
+    # per-zone css is invariant under a GLOBAL shift s:
+    # css_z = sum_z (x-s)^2 - (sum_z (x-s))^2 / n_z  for any constant s.
+    # Centering on the global mean before squaring keeps the squares near
+    # the spread scale, so the algebraic form never cancels — without it
+    # even f64 squares of large-mean values leave ~1e-13-relative css
+    # noise (std 0.00492 vs true 0.00500 on 200k values of 1000±0.005)
+    gshift = (jnp.sum(vz.astype(jnp.float64))
+              / jnp.maximum(jnp.sum(valid.astype(jnp.float64)), 1.0))
+
     def body(carry, inp):
         a_sum, a_cnt, a_sq, a_min, a_max = carry
         vs_c, ss_c, vinf_c, vninf_c, wts_c = inp
-        a_sum = a_sum + seg_sum(vs_c, ss_c).astype(jnp.float64)
+        # cast BEFORE the segment ops: an f32 intra-chunk sum of squares
+        # of large-mean values rounds away a small spread entirely (std
+        # 13.6 vs true 0.005 on the canary above) — the f64 cast must
+        # cover the shift, the squaring and the scatter accumulation
+        v64 = (vs_c.astype(jnp.float64) - gshift) * wts_c
+        a_sum = a_sum + seg_sum(v64, ss_c)
         a_cnt = a_cnt + seg_sum(wts_c, ss_c).astype(jnp.float64)
-        a_sq = a_sq + seg_sum(vs_c * vs_c, ss_c).astype(jnp.float64)
+        a_sq = a_sq + seg_sum(v64 * v64, ss_c)
         a_min = jnp.minimum(a_min, seg_min(vinf_c, ss_c))
         a_max = jnp.maximum(a_max, seg_max(vninf_c, ss_c))
         return (a_sum, a_cnt, a_sq, a_min, a_max), None
 
-    from .utils import x64
-    with x64():
-        init = (jnp.zeros((n,), jnp.float64), jnp.zeros((n,), jnp.float64),
-                jnp.zeros((n,), jnp.float64), jnp.full((n,), jnp.inf),
-                jnp.full((n,), -jnp.inf))
-        (ssum64, cnt64, ssumsq64, smin, smax), _ = jax.lax.scan(
-            body, init, (vs, ss, vinf, vninf, wts))
-    # algebraic centered sum of squares in f64 (the prefix sums are
-    # ~1e-16-relative exact, so cancellation stays inside the contract)
+    init = (jnp.zeros((n,), jnp.float64), jnp.zeros((n,), jnp.float64),
+            jnp.zeros((n,), jnp.float64),
+            jnp.full((n,), jnp.inf, jnp.float32),
+            jnp.full((n,), -jnp.inf, jnp.float32))
+    (ssumc64, cnt64, ssumsq64, smin, smax), _ = jax.lax.scan(
+        body, init, (vs, ss, vinf, vninf, wts))
+    # shifted algebraic centered sum of squares (exact per the identity)
     css = jnp.maximum(
-        ssumsq64 - ssum64 * ssum64 / jnp.maximum(cnt64, 1.0), 0.0)
+        ssumsq64 - ssumc64 * ssumc64 / jnp.maximum(cnt64, 1.0), 0.0)
+    # un-shift the sums for the downstream mean/sum stats
+    ssum64 = ssumc64 + gshift * cnt64
     return (ssum64[:-1].astype(jnp.float32), cnt64[:-1].astype(jnp.float32),
             css[:-1].astype(jnp.float32), smin[:-1].astype(jnp.float32),
             smax[:-1].astype(jnp.float32))
@@ -314,10 +342,9 @@ def _segment_stats_matmul(values, seg_ids, num_segments, nodata, has_nodata,
     return ssum, cnt, css2d.reshape(nzp)[:nz], smin, smax
 
 
-# one-hot slab width for the matmul segment core (chunk*slab*4 bytes of
-# transient one-hot per step); total-zone ceiling above which the
-# slab scan would be slower than chunk-compensated scatter
-_MATMUL_MAX_ZONES = 4096
+# total-zone ceiling above which the matmul slab scan would be slower
+# than chunk-compensated scatter (the slab width itself is the `slab`
+# default on the matmul kernels)
 _MATMUL_MAX_ZONES_TOTAL = 65536
 
 
