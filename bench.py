@@ -106,6 +106,115 @@ def timed(fn, *args, reps=30, burst=10):
     return max(per_burst[len(per_burst) // 2], 1e-9)  # median burst
 
 
+def parity_checks():
+    """On-chip correctness gate (VERDICT r2 #3): every Pallas production
+    path vs its fused-XLA twin (or a float64 host oracle) on real inputs,
+    BEFORE any timing — a wrong-answer kernel regression fails the bench
+    run instead of shipping a good-looking number.  Mirrors the
+    reference's numpy-vs-backend parity contract
+    (reference tests/general_checks.py:124-145).
+    """
+    import os
+
+    import jax.numpy as jnp
+
+    from xrspatial_tpu import hillshade, slope
+    from xrspatial_tpu.convolution import circle_kernel
+    from xrspatial_tpu.focal import focal_stats
+    from xrspatial_tpu.proximity import proximity
+    from xrspatial_tpu.xrlib import DataArray
+    from xrspatial_tpu.zonal import stats as zonal_stats
+
+    results = {}
+    n = 2048
+    dem = gaussian_bump(n, n)
+    agg = DataArray(dem, dims=("y", "x"), name="dem",
+                    attrs={"res": (1.0, 1.0)})
+    agg["y"] = np.arange(n, dtype=float)[::-1]
+    agg["x"] = np.arange(n, dtype=float)
+
+    def no_pallas(fn):
+        os.environ["XRSPATIAL_NO_PALLAS"] = "1"
+        try:
+            return fn()
+        finally:
+            os.environ.pop("XRSPATIAL_NO_PALLAS", None)
+
+    def check(name, fn, atol, rtol=1e-5):
+        try:
+            a = np.asarray(fn())
+            b = np.asarray(no_pallas(fn))
+            ok = (np.isnan(a) == np.isnan(b)).all() and np.allclose(
+                a, b, rtol=rtol, atol=atol, equal_nan=True)
+            if not ok:
+                m = ~np.isnan(a) & ~np.isnan(b)
+                print(f"# parity FAIL {name}: max abs diff "
+                      f"{np.max(np.abs(a[m] - b[m])):.3e}", file=sys.stderr)
+        except Exception as e:
+            print(f"# parity ERROR {name}: {type(e).__name__}: {e}",
+                  file=sys.stderr)
+            ok = False
+        results[name] = bool(ok)
+        return ok
+
+    # classic-pipeline Pallas surface stencils vs fused-XLA
+    check("slope/pallas_surface2", lambda: slope(agg).data, atol=5e-4)
+    check("hillshade/pallas_surface2", lambda: hillshade(agg).data,
+          atol=5e-4)
+
+    # tiled Pallas window stats vs fused-XLA one-pass
+    kernel = circle_kernel(1, 1, 1.5)
+    check("focal_stats/pallas_window2",
+          lambda: focal_stats(agg, kernel,
+                              stats_funcs=["mean", "max", "min",
+                                           "std"]).data, atol=1e-3)
+
+    # Pallas JFA proximity vs the XLA scan fallback (both exact)
+    n2 = 1024
+    tg = DataArray((gaussian_bump(n2, n2) > 900).astype(jnp.float32),
+                   dims=("y", "x"))
+    tg["y"] = np.arange(n2, dtype=float)[::-1]
+    tg["x"] = np.arange(n2, dtype=float)
+    check("proximity/pallas_jfa", lambda: proximity(tg).data, atol=1e-3)
+
+    # MXU one-hot matmul zonal stats vs a float64 host oracle
+    def zonal_check():
+        zones_np = np.asarray(
+            jnp.floor_divide(gaussian_bump(n2, n2), 50.0)).astype(np.int32)
+        vals = gaussian_bump(n2, n2)
+        df = zonal_stats(
+            zones=DataArray(jnp.asarray(zones_np), dims=("y", "x")),
+            values=DataArray(vals, dims=("y", "x")),
+            stats_funcs=["mean", "sum", "std", "count", "min", "max"])
+        v = np.asarray(vals).astype(np.float64).ravel()
+        z = zones_np.ravel()
+        order = np.argsort(z, kind="stable")
+        zs, vs = z[order], v[order]
+        uz, starts, cnt = np.unique(zs, return_index=True,
+                                    return_counts=True)
+        ssum = np.add.reduceat(vs, starts)
+        ssq = np.add.reduceat(vs * vs, starts)
+        mean = ssum / cnt
+        std = np.sqrt(np.maximum(ssq / cnt - mean * mean, 0.0))
+        ok = (np.array_equal(np.asarray(df["zone"]), uz)
+              and np.allclose(df["mean"], mean, rtol=1e-5)
+              and np.allclose(df["sum"], ssum, rtol=1e-5)
+              and np.allclose(df["count"], cnt, rtol=0)
+              and np.allclose(df["std"], std, rtol=1e-5, atol=1e-3))
+        return ok
+
+    try:
+        results["zonal/matmul_segment_stats"] = bool(zonal_check())
+    except Exception as e:
+        print(f"# parity ERROR zonal: {type(e).__name__}: {e}",
+              file=sys.stderr)
+        results["zonal/matmul_segment_stats"] = False
+
+    for k, v in results.items():
+        print(f"# parity {'ok  ' if v else 'FAIL'} {k}", file=sys.stderr)
+    return results
+
+
 def main():
     import jax
     import jax.numpy as jnp
@@ -117,6 +226,8 @@ def main():
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     except Exception:
         pass
+
+    parity = parity_checks()
 
     from xrspatial_tpu import hillshade, slope
     from xrspatial_tpu.xrlib import DataArray
@@ -221,12 +332,17 @@ def main():
     value = mpix / total_s
     baseline = 1.0 / sum(1.0 / BASELINE_MPIX_S[k] for k in op_secs)
     metric = "+".join(op_secs) + f" pipeline on {N}x{N} DEM"
+    parity_ok = all(parity.values())
     print(json.dumps({
         "metric": metric,
         "value": round(value, 2),
         "unit": "Mpix/s",
         "vs_baseline": round(value / baseline, 2),
+        "parity": "ok" if parity_ok else
+                  "FAIL: " + ",".join(k for k, v in parity.items() if not v),
     }))
+    if not parity_ok:
+        sys.exit(1)
 
 
 if __name__ == "__main__":

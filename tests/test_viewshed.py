@@ -139,6 +139,52 @@ def test_nan_cells_invisible_and_transparent():
     assert v[2, 4] > -1           # does not block what's behind it
 
 
+@pytest.mark.parametrize("shape,vp", [
+    ((48, 64), (10, 10)),
+    ((64, 48), (0, 0)),        # corner viewpoint
+    ((57, 57), (56, 56)),      # opposite corner, odd size
+    ((40, 90), (20, 3)),       # wide raster, edge viewpoint
+])
+def test_exact_bucket_bitwise_vs_pairwise(shape, vp):
+    """VERDICT r2 #1 'done' gate (CPU sizes): the angle-sorted bucket
+    evaluation must agree BIT-FOR-BIT with the pairwise oracle —
+    identical attrs, identical predicate, conservative candidate
+    superset.  512^2/1024^2 run on chip (tools/validate_exact_viewshed.py
+    + the bench parity phase)."""
+    from xrspatial_tpu.kernels.viewshed import viewshed_grid
+    from xrspatial_tpu.kernels.viewshed_exact import viewshed_grid_exact
+    from xrspatial_tpu.utils import x64
+    rng = np.random.default_rng(hash(shape) % 2**31)
+    data = (rng.random(shape) * 60).astype(np.float64)
+    data[shape[0] // 3, :] += 100.0  # a ridge
+    data[np.unravel_index(rng.integers(0, data.size, 20), shape)] = np.nan
+    with x64():
+        pw = np.asarray(viewshed_grid(data, vp[0], vp[1],
+                                      3.0, 0.5, 1.5, -1.0))
+    ex = np.asarray(viewshed_grid_exact(data, vp[0], vp[1],
+                                        3.0, 0.5, 1.5, -1.0, chunk=128))
+    np.testing.assert_array_equal(pw, ex)
+
+
+def test_default_path_is_exact_above_old_cliff():
+    """300x300 (beyond the old 256^2 exactness cliff) must now take the
+    exact path by default: output equals the exact kernel's."""
+    from xrspatial_tpu.kernels.viewshed_exact import viewshed_grid_exact
+    rng = np.random.default_rng(21)
+    n = 300
+    data = (rng.random((n, n)) * 40).astype(np.float64)
+    data[100:104, 150:160] += 250.0
+    agg = _raster(data)
+    xs = np.asarray(agg["x"].data)
+    ys = np.asarray(agg["y"].data)
+    v = np.asarray(viewshed(agg, x=xs[70], y=ys[220]).data)
+    ns_res = float(ys[1] - ys[0])
+    ew_res = float(xs[1] - xs[0])
+    ref = np.asarray(viewshed_grid_exact(data, 220, 70, 0.0, 0.0,
+                                         ew_res, ns_res))
+    np.testing.assert_array_equal(v, ref)
+
+
 def test_los_matches_pairwise():
     """The large-raster LOS path agrees with the exact sweep-semantics
     path away from ties."""

@@ -33,29 +33,35 @@ __all__ = ["viewshed_grid", "INVISIBLE"]
 INVISIBLE = -1
 
 
-def _calculate_angle(ex, ey, vx, vy):
-    """Vectorized port of viewshed.py:1030-1062 (angle in [0, 2pi))."""
-    ang = jnp.arctan(jnp.abs(ey - vy) / jnp.where(ex == vx, 1.0,
-                                                  jnp.abs(ex - vx)))
+def _calculate_angle(ex, ey, vx, vy, xp=jnp):
+    """Vectorized port of viewshed.py:1030-1062 (angle in [0, 2pi)).
+
+    `xp` selects the array module: attrs are computed ONCE on the host in
+    numpy float64 (shared verbatim by the pairwise oracle and the exact
+    bucket-LOS path, so their agreement is bit-level by construction).
+    """
+    ang = xp.arctan(xp.abs(ey - vy) / xp.where(ex == vx, 1.0,
+                                               xp.abs(ex - vx)))
     q1 = (ex > vx) & (ey < vy)
     q2 = (vx > ex) & (vy > ey)
     q3 = (vx > ex) & (vy < ey)
     q4 = (vx < ex) & (vy < ey)
-    out = jnp.where(q1, ang,
-          jnp.where(q2, PI - ang,
-          jnp.where(q3, PI + ang,
-          jnp.where(q4, 2.0 * PI - ang, 0.0))))
-    out = jnp.where((vx == ex) & (vy > ey), PI / 2.0, out)
-    out = jnp.where((vx == ex) & (vy < ey), 3.0 * PI / 2.0, out)
-    out = jnp.where((vy == ey) & (ex > vx), 0.0, out)
-    out = jnp.where((vy == ey) & (vx > ex), PI, out)
-    out = jnp.where((ex == vx) & (ey == vy), 0.0, out)
+    out = xp.where(q1, ang,
+          xp.where(q2, PI - ang,
+          xp.where(q3, PI + ang,
+          xp.where(q4, 2.0 * PI - ang, 0.0))))
+    out = xp.where((vx == ex) & (vy > ey), PI / 2.0, out)
+    out = xp.where((vx == ex) & (vy < ey), 3.0 * PI / 2.0, out)
+    out = xp.where((vy == ey) & (ex > vx), 0.0, out)
+    out = xp.where((vy == ey) & (vx > ex), PI, out)
+    out = xp.where((ex == vx) & (ey == vy), 0.0, out)
     return out
 
 
-def _corner_offsets(rows, cols, vp_row, vp_col):
+def _corner_offsets(rows, cols, vp_row, vp_col, xp=jnp):
     """(enter_dy, enter_dx, exit_dy, exit_dx) per cell — vectorized
     viewshed.py:909-1028 quadrant table."""
+    jnp = xp  # noqa: F841 — body below uses the module-agnostic alias
     north = rows < vp_row
     south = rows > vp_row
     west = cols < vp_col
@@ -100,16 +106,20 @@ def _corner_offsets(rows, cols, vp_row, vp_col):
     return e_dy, e_dx, x_dy, x_dx
 
 
-def _corner_elev(data, dy_sign, dx_sign):
+def _corner_elev(data, dy_sign, dx_sign, xp=jnp):
     """Mean of the 4 cells sharing the corner at (row+dy, col+dx); falls
     back to the cell's own value when any of the 4 is OOB/NaN
     (viewshed.py:885-905)."""
+    jnp = xp  # noqa: F841 — module-agnostic alias (static shifts only)
     h, w = data.shape
-    p = jnp.pad(data, 1, constant_values=jnp.nan)
+    if xp is np:
+        p = np.pad(data, 1, constant_values=np.nan)
+    else:
+        p = xp.pad(data, 1, constant_values=xp.nan)
     center = data
 
     def nb(dy, dx):
-        return jax.lax.dynamic_slice(p, (1 + dy, 1 + dx), (h, w))
+        return p[1 + dy:1 + dy + h, 1 + dx:1 + dx + w]
 
     out = jnp.full((h, w), jnp.nan)
     for sy in (-1, 1):
@@ -124,14 +134,51 @@ def _corner_elev(data, dy_sign, dx_sign):
     return jnp.where((dy_sign == 0.0) & (dx_sign == 0.0), center, out)
 
 
-def _gradient(dy_px, dx_px, elev, vp_elev, ew_res, ns_res):
+def _gradient(dy_px, dx_px, elev, vp_elev, ew_res, ns_res, xp=jnp):
     """atan((elev - vp_elev)/dist); +-pi/2 at the viewpoint
     (viewshed.py:1072-1096)."""
     diff = elev - vp_elev
     d2 = (dx_px * ew_res) ** 2 + (dy_px * ns_res) ** 2
-    grad = jnp.arctan(diff / jnp.sqrt(jnp.where(d2 == 0, 1.0, d2)))
+    grad = xp.arctan(diff / xp.sqrt(xp.where(d2 == 0, 1.0, d2)))
     at_vp = d2 == 0
-    return jnp.where(at_vp, jnp.sign(diff) * PI / 2.0, grad)
+    return xp.where(at_vp, xp.sign(diff) * PI / 2.0, grad)
+
+
+def _interp_blocked_max(al, key_t, idx_t, key_b, a0, a1, a2, g0, g1, g2,
+                        valid_b, idx_b):
+    """Max interpolated blocker gradient per target — the GRASS status-
+    structure query (reference viewshed.py:1485-1491), evaluated for a
+    (C, 1) column of targets against an (E,)/(1, E) row of candidate
+    blockers.  Shared verbatim by the pairwise oracle and the exact
+    bucket-LOS path so both compute bit-identical results: the candidate
+    SET may differ (the bucket path evaluates a conservative superset of
+    the covering cells) but inactive candidates contribute -inf and the
+    float max is order-independent."""
+    two_pi = 2.0 * PI
+    crossing = a0 > a2
+    cover = jnp.where(crossing,
+                      (al > a0) | (al < a2),
+                      (al > a0) & (al < a2))
+    closer = key_b < key_t
+    not_self = idx_b != idx_t
+    active = cover & closer & not_self & valid_b
+
+    # interpolation in unwrapped angle coordinates
+    a1e = jnp.where(crossing & (a1 < a0), a1 + two_pi, a1)
+    a2e = jnp.where(crossing & (a2 < a0), a2 + two_pi, a2)
+    ale = jnp.where(crossing & (al < a0), al + two_pi, al)
+
+    seg1 = ale < a1e
+    seg2 = ale > a1e
+    d10 = jnp.where(a1e != a0, a1e - a0, 1.0)
+    d21 = jnp.where(a2e != a1e, a2e - a1e, 1.0)
+    gi = jnp.where(
+        seg1, g1 + (g0 - g1) * (a1e - ale) / d10,
+        jnp.where(seg2,
+                  g1 + (g2 - g1) * (ale - a1e) / d21,
+                  g1))
+    gi = jnp.where(active, gi, -jnp.inf)
+    return jnp.max(gi, axis=1)
 
 
 @partial(jax.jit, static_argnames=("chunk",))
@@ -143,40 +190,18 @@ def _pairwise_visibility(key, a0, a1, a2, g0, g1, g2, grad_t, is_vp,
     potential blockers.
     """
     n = key.shape[0]
-    two_pi = 2.0 * PI
 
-    crossing = a0 > a2
     # blocker invalid if its gradients are NaN (NODATA never blocks,
     # matching NaN-comparison semantics in the sweep)
-    finite_b = jnp.isfinite(g1)
-    valid_b = finite_b & ~is_vp
+    valid_b = jnp.isfinite(g1) & ~is_vp
 
     def chunk_max(alpha_c, key_c, idx_c):
         # (C, N) interactions
-        al = alpha_c[:, None]
-        cover = jnp.where(crossing[None],
-                          (al > a0[None]) | (al < a2[None]),
-                          (al > a0[None]) & (al < a2[None]))
-        closer = key[None] < key_c[:, None]
-        not_self = jnp.arange(n)[None] != idx_c[:, None]
-        active = cover & closer & not_self & valid_b[None]
-
-        # interpolation in unwrapped angle coordinates
-        a1e = jnp.where(crossing & (a1 < a0), a1 + two_pi, a1)[None]
-        a2e = jnp.where(crossing & (a2 < a0), a2 + two_pi, a2)[None]
-        ale = jnp.where(crossing[None] & (al < a0[None]), al + two_pi, al)
-
-        seg1 = ale < a1e
-        seg2 = ale > a1e
-        d10 = jnp.where(a1e != a0[None], a1e - a0[None], 1.0)
-        d21 = jnp.where(a2e != a1e, a2e - a1e, 1.0)
-        gi = jnp.where(
-            seg1, g1[None] + (g0[None] - g1[None]) * (a1e - ale) / d10,
-            jnp.where(seg2,
-                      g1[None] + (g2[None] - g1[None]) * (ale - a1e) / d21,
-                      g1[None]))
-        gi = jnp.where(active, gi, -jnp.inf)
-        return jnp.max(gi, axis=1)
+        return _interp_blocked_max(
+            alpha_c[:, None], key_c[:, None], idx_c[:, None],
+            key[None], a0[None], a1[None], a2[None],
+            g0[None], g1[None], g2[None], valid_b[None],
+            jnp.arange(n)[None])
 
     n_chunks = -(-n // chunk)
     n_pad = n_chunks * chunk
@@ -192,43 +217,67 @@ def _pairwise_visibility(key, a0, a1, a2, g0, g1, g2, grad_t, is_vp,
     return blocked <= grad_t
 
 
+def cell_attrs_host(data_np, vp_row: int, vp_col: int, observer_elev: float,
+                    target_elev: float, ew_res: float, ns_res: float):
+    """All per-cell predicate attributes, computed ONCE on the host in
+    numpy float64 — the single source both exact paths consume.
+
+    Returns a dict of flat (N,) float64 arrays: key (squared weighted
+    distance), a0/a1/a2 (enter/center/exit angles), g0/g1/g2 (gradients),
+    grad_t (target gradient), plus is_vp / valid_b masks.
+    """
+    data = np.asarray(data_np, dtype=np.float64)
+    h, w = data.shape
+    rows = np.arange(h, dtype=np.float64)[:, None] + np.zeros((1, w))
+    cols = np.arange(w, dtype=np.float64)[None, :] + np.zeros((h, 1))
+    vp_r = np.float64(vp_row)
+    vp_c = np.float64(vp_col)
+    vp_elev = data[vp_row, vp_col] + observer_elev
+
+    e_dy, e_dx, x_dy, x_dx = _corner_offsets(rows, cols, vp_r, vp_c, xp=np)
+    enter_elev = _corner_elev(data, e_dy, e_dx, xp=np)
+    exit_elev = _corner_elev(data, x_dy, x_dx, xp=np)
+
+    # angles: note _calculate_angle takes (x, y) with y as ROW index and
+    # "north" = smaller row
+    with np.errstate(invalid="ignore"):
+        a0 = _calculate_angle(cols + e_dx, rows + e_dy, vp_c, vp_r, xp=np)
+        a1 = _calculate_angle(cols, rows, vp_c, vp_r, xp=np)
+        a2 = _calculate_angle(cols + x_dx, rows + x_dy, vp_c, vp_r, xp=np)
+
+        g0 = _gradient(rows + e_dy - vp_r, cols + e_dx - vp_c, enter_elev,
+                       vp_elev, ew_res, ns_res, xp=np)
+        g1 = _gradient(rows - vp_r, cols - vp_c, data, vp_elev,
+                       ew_res, ns_res, xp=np)
+        g2 = _gradient(rows + x_dy - vp_r, cols + x_dx - vp_c, exit_elev,
+                       vp_elev, ew_res, ns_res, xp=np)
+        grad_t = _gradient(rows - vp_r, cols - vp_c, data + target_elev,
+                           vp_elev, ew_res, ns_res, xp=np)
+
+    key = ((cols - vp_c) * ew_res) ** 2 + ((rows - vp_r) * ns_res) ** 2
+    is_vp = (rows == vp_r) & (cols == vp_c)
+    valid_b = np.isfinite(g1) & ~is_vp
+    return {
+        "key": key.ravel(), "a0": a0.ravel(), "a1": a1.ravel(),
+        "a2": a2.ravel(), "g0": g0.ravel(), "g1": g1.ravel(),
+        "g2": g2.ravel(), "grad_t": grad_t.ravel(),
+        "is_vp": is_vp.ravel(), "valid_b": valid_b.ravel(),
+        "vp_elev": vp_elev, "shape": (h, w),
+    }
+
+
 @partial(jax.jit, static_argnames=("shape",))
-def _viewshed_impl(data, vp_row, vp_col, observer_elev, target_elev,
-                   ew_res, ns_res, shape):
+def _visibility_epilogue(data, visible, vp_elev, vp_row, vp_col,
+                         target_elev, ew_res, ns_res, shape):
+    """Vertical angle for visible cells (viewshed.py:1257-1273)."""
     h, w = shape
     rows = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0).astype(jnp.float64)
     cols = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1).astype(jnp.float64)
     vp_r = vp_row.astype(jnp.float64)
     vp_c = vp_col.astype(jnp.float64)
-    vp_elev = data[vp_row, vp_col] + observer_elev
-
-    e_dy, e_dx, x_dy, x_dx = _corner_offsets(rows, cols, vp_r, vp_c)
-    enter_elev = _corner_elev(data, e_dy, e_dx)
-    exit_elev = _corner_elev(data, x_dy, x_dx)
-
-    # angles: note _calculate_angle takes (x, y) with y as ROW index and
-    # "north" = smaller row
-    a0 = _calculate_angle(cols + e_dx, rows + e_dy, vp_c, vp_r)
-    a1 = _calculate_angle(cols, rows, vp_c, vp_r)
-    a2 = _calculate_angle(cols + x_dx, rows + x_dy, vp_c, vp_r)
-
-    g0 = _gradient(rows + e_dy - vp_r, cols + e_dx - vp_c, enter_elev,
-                   vp_elev, ew_res, ns_res)
-    g1 = _gradient(rows - vp_r, cols - vp_c, data, vp_elev, ew_res, ns_res)
-    g2 = _gradient(rows + x_dy - vp_r, cols + x_dx - vp_c, exit_elev,
-                   vp_elev, ew_res, ns_res)
-    grad_t = _gradient(rows - vp_r, cols - vp_c, data + target_elev,
-                       vp_elev, ew_res, ns_res)
-
     key = ((cols - vp_c) * ew_res) ** 2 + ((rows - vp_r) * ns_res) ** 2
     is_vp = (rows == vp_r) & (cols == vp_c)
 
-    visible = _pairwise_visibility(
-        key.ravel(), a0.ravel(), a1.ravel(), a2.ravel(),
-        g0.ravel(), g1.ravel(), g2.ravel(), grad_t.ravel(),
-        is_vp.ravel()).reshape(h, w)
-
-    # vertical angle for visible cells (viewshed.py:1257-1273)
     diff = vp_elev - (data + target_elev)
     dist = jnp.sqrt(jnp.where(key == 0, 1.0, key))
     vert = jnp.where(
@@ -237,19 +286,33 @@ def _viewshed_impl(data, vp_row, vp_col, observer_elev, target_elev,
                                                         diff)) * 180.0 / PI,
                   jnp.arctan(jnp.abs(diff) / dist) * 180.0 / PI + 90.0))
     out = jnp.where(visible, vert, float(INVISIBLE))
-    out = jnp.where(is_vp, 180.0, out)
-    return out
+    return jnp.where(is_vp, 180.0, out)
 
 
 def viewshed_grid(data, vp_row: int, vp_col: int, observer_elev: float,
                   target_elev: float, ew_res: float, ns_res: float):
-    """Visibility grid (vertical angles, INVISIBLE=-1, viewpoint=180)."""
-    data = jnp.asarray(data, dtype=jnp.float64)
-    return _viewshed_impl(data, jnp.int32(vp_row), jnp.int32(vp_col),
-                          jnp.float64(observer_elev),
-                          jnp.float64(target_elev),
-                          jnp.float64(ew_res), jnp.float64(ns_res),
-                          data.shape)
+    """Visibility grid (vertical angles, INVISIBLE=-1, viewpoint=180).
+
+    Exact GRASS predicate, evaluated PAIRWISE (every target against all
+    cells) — the small-raster exact path; the bucket-LOS variant in
+    viewshed_exact.py computes the identical result at ~N^1.5 cost.
+    """
+    data_np = np.asarray(data, dtype=np.float64)
+    at = cell_attrs_host(data_np, vp_row, vp_col, observer_elev,
+                         target_elev, ew_res, ns_res)
+    h, w = at["shape"]
+    visible = _pairwise_visibility(
+        jnp.asarray(at["key"]), jnp.asarray(at["a0"]),
+        jnp.asarray(at["a1"]), jnp.asarray(at["a2"]),
+        jnp.asarray(at["g0"]), jnp.asarray(at["g1"]),
+        jnp.asarray(at["g2"]), jnp.asarray(at["grad_t"]),
+        jnp.asarray(at["is_vp"])).reshape(h, w)
+    return _visibility_epilogue(jnp.asarray(data_np), visible,
+                                jnp.float64(at["vp_elev"]),
+                                jnp.int32(vp_row), jnp.int32(vp_col),
+                                jnp.float64(target_elev),
+                                jnp.float64(ew_res), jnp.float64(ns_res),
+                                (h, w))
 
 
 # ---------------------------------------------------------------------------

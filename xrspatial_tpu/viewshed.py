@@ -1,15 +1,18 @@
 """Viewshed: visible cells from an observer location.
 
 TPU-native counterpart of reference ``xrspatial/viewshed.py``.  Rasters up
-to ``_EXACT_MAX_CELLS`` (256x256) evaluate the exact GRASS r.viewshed
-visibility predicate pairwise (kernels/viewshed.py) instead of the
-sequential radial sweep + red-black tree.  Larger rasters switch to the
+to ``_EXACT_MAX_CELLS`` (1024x1024) evaluate the exact GRASS r.viewshed
+visibility predicate — the reference's radial sweep + red-black tree
+(viewshed.py:1337-1502) reformulated as angle-sorted bucket evaluation
+(kernels/viewshed_exact.py, ~N^1.5 work, float64, bit-identical to the
+pairwise oracle in kernels/viewshed.py).  Larger rasters default to the
 octant-scan XDraw wavefront — an O(N) *approximation* whose
 interpolated-blocker model differs from the GRASS angular-span predicate
 beyond near-tie cells (measured agreement is pinned by
-tests/test_viewshed.py; see PARITY.md for the current bound).  Output:
-vertical angle in degrees [0, 180] for visible cells (0 = straight up,
-90 = level, 180 = the viewpoint itself), -1 for invisible cells.
+tests/test_viewshed.py; see PARITY.md) — with ``exact=True`` forcing the
+exact bucket path at ANY size.  Output: vertical angle in degrees
+[0, 180] for visible cells (0 = straight up, 90 = level, 180 = the
+viewpoint itself), -1 for invisible cells.
 """
 
 from __future__ import annotations
@@ -20,10 +23,10 @@ from typing import Union
 
 import numpy as np
 
-from .kernels.viewshed import (viewshed_grid, viewshed_grid_los,
-                               viewshed_grid_los_sharded)
+from .kernels.viewshed import viewshed_grid_los, viewshed_grid_los_sharded
+from .kernels.viewshed_exact import viewshed_grid_exact
 from .parallel.halo import get_raster_mesh
-from .utils import wrap_like, x64
+from .utils import wrap_like
 from .xrlib import DataArray
 
 __all__ = ["viewshed"]
@@ -31,9 +34,10 @@ __all__ = ["viewshed"]
 OBS_ELEV = 0
 TARGET_ELEV = 0
 
-# above this cell count the exact pairwise evaluation (O(N^2)) switches to
-# the batched line-of-sight formulation (O(N * max_dim))
-_EXACT_MAX_CELLS = 256 * 256
+# above this cell count the default switches from the exact bucket
+# evaluation (~N^1.5 work, float64) to the XDraw approximation (O(N),
+# float32); exact=True keeps the exact path at any size
+_EXACT_MAX_CELLS = 1024 * 1024
 
 
 def viewshed(raster: DataArray,
@@ -56,20 +60,23 @@ def viewshed(raster: DataArray,
         Height of hypothetical targets above the terrain; a cell is
         visible if a target at that height above it can be seen.
     exact : bool, optional
-        ``True`` forces the exact pairwise GRASS predicate (O(N^2) work,
-        float64) at any size; ``False`` forces the XDraw octant-scan
-        approximation; ``None`` (default) selects by size
-        (exact up to 256x256 cells).
+        ``True`` forces the exact GRASS predicate (angle-sorted bucket
+        evaluation, ~N^1.5 work, float64) at any size; ``False`` forces
+        the XDraw octant-scan approximation; ``None`` (default) selects
+        by size (exact up to 1024x1024 cells).
 
     Notes
     -----
-    Rasters with at most 256x256 cells use the exact GRASS predicate
-    (pairwise angular spans + interpolated gradients, float64).  Larger
-    rasters use the XDraw octant-scan approximation (float32): an O(N)
-    wavefront whose interpolated-blocker errors can flip visibility at
-    cells that are not exact ties.  The measured agreement bound vs the
-    exact predicate is asserted in tests/test_viewshed.py and recorded in
-    PARITY.md.
+    Rasters with at most 1024x1024 cells use the exact GRASS predicate
+    (angular spans + interpolated gradients, float64), computed by the
+    angle-sorted bucket formulation in kernels/viewshed_exact.py —
+    bit-identical to the reference's sweep semantics, at ~N^1.5 cost
+    instead of the O(N^2) pairwise form.  Larger rasters use the XDraw
+    octant-scan approximation (float32): an O(N) wavefront whose
+    interpolated-blocker errors can flip visibility at cells that are
+    not exact ties (measured agreement ~99.5%; bound asserted in
+    tests/test_viewshed.py and recorded in PARITY.md); ``exact=True``
+    keeps the exact path at any size.
     """
     mesh = get_raster_mesh(raster.data)
 
@@ -95,14 +102,15 @@ def viewshed(raster: DataArray,
                  if exact is None else bool(exact))
     if use_exact:
         if mesh is not None:
-            # the pairwise predicate gathers (no distributed formulation)
+            # the exact bucket evaluation is host-orchestrated
+            # (no distributed formulation)
             warnings.warn(
-                "viewshed(exact): input is mesh-sharded but the pairwise "
+                "viewshed(exact): input is mesh-sharded but the exact "
                 "predicate runs on ONE device (correct, not distributed).",
                 UserWarning, stacklevel=2)
-        with x64():
-            out = viewshed_grid(raster.data, y_view, x_view, observer_elev,
-                                target_elev, ew_res, ns_res)
+        out = viewshed_grid_exact(raster.data, y_view, x_view,
+                                  observer_elev, target_elev,
+                                  ew_res, ns_res)
     elif mesh is not None:
         # distributed XDraw: the 4 octant scans spread over the mesh
         # (work /4; the raster itself is replicated per device — each
