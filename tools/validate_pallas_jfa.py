@@ -37,8 +37,12 @@ def run(img_d, xc, yc, metric):
 
 def check(n, metric):
     img = jnp.asarray(make_case(n, max(8, n // 16)))
-    xc = jnp.arange(n, dtype=jnp.float32)
-    yc = jnp.arange(n, dtype=jnp.float32)
+    if metric == 1:  # great circle needs genuine lon/lat degrees
+        xc = jnp.asarray(np.linspace(-170.0, 170.0, n, dtype=np.float32))
+        yc = jnp.asarray(np.linspace(75.0, -75.0, n, dtype=np.float32))
+    else:
+        xc = jnp.arange(n, dtype=jnp.float32)
+        yc = jnp.arange(n, dtype=jnp.float32)
     t0 = time.time()
     os.environ["XRSPATIAL_NO_PALLAS"] = "1"
     ref = [np.asarray(a) for a in run(img, xc, yc, metric)]

@@ -54,25 +54,13 @@ def tiled_radius_supported(ry: int, rx: int) -> bool:
 
 def _make_kernel(offsets, stats, ry, rx, th, tw):
     n_stats = len(stats)
-    ih, iw = th - 2 * ry, tw  # full-width rows; lane shifts via roll
+    ih, iw = th - 2 * ry, tw - 2 * rx
 
     def kernel(in_ref, rb_ref, out_ref):
         x = in_ref[...]
-        rows = {}
 
         def shift(dy, dx):
-            # lane-ALIGNED window reads: vertical offsets are sublane
-            # slices, horizontal offsets are pltpu.roll lane rotations —
-            # no per-operand relayouts or masked stores (the round-2
-            # version's rx+dx column slices were misaligned for every
-            # dx).  Rotation-wrapped first/last rx columns of the tile
-            # are garbage by construction — exactly the seam-column
-            # cells the XLA strip patches overwrite post-kernel.
-            row = rows.get(dy)
-            if row is None:
-                row = rows[dy] = x[ry + dy:ry + dy + ih, :]
-            # pltpu.roll requires non-negative shifts: -dx ≡ tw-dx
-            return pltpu.roll(row, (-dx) % tw, 1) if dx else row
+            return x[ry + dy:ry + dy + ih, rx + dx:rx + dx + iw]
 
         need_sum = any(s in stats for s in ("sum", "mean", "std", "var"))
         need_minmax = any(s in stats for s in ("min", "max", "range"))
@@ -120,7 +108,7 @@ def _make_kernel(offsets, stats, ry, rx, th, tw):
                 val = var
             elif stat == "std":
                 val = jnp.sqrt(var)
-            out_ref[k, ry:th - ry, :] = val
+            out_ref[k, ry:th - ry, rx:tw - rx] = val
             # seam rows from the precomputed band (cols under the column
             # patches get overwritten post-kernel with identical values)
             out_ref[k, 0:ry, :] = rb_ref[k, 0:ry, :]

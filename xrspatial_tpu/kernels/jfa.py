@@ -33,11 +33,16 @@ def metric_distance(x1, x2, y1, y2, metric: int):
     """Distance between coordinate pairs under the reference's metrics
     (proximity.py:38-219)."""
     if metric == GREAT_CIRCLE:
-        lat1, lon1 = jnp.radians(y1), jnp.radians(x1)
-        lat2, lon2 = jnp.radians(y2), jnp.radians(x2)
-        a = (jnp.sin((lat2 - lat1) / 2.0) ** 2
-             + jnp.cos(lat1) * jnp.cos(lat2)
-             * jnp.sin((lon2 - lon1) / 2.0) ** 2)
+        # subtract in DEGREES, then convert: the reference runs this in
+        # f64 where order is harmless (proximity.py:90-135); in f32,
+        # radians-then-subtract loses ~2e-1 relative on near-coincident
+        # points (both operands round at ~1-radian magnitude) while
+        # degrees-then-radians keeps the delta exact
+        dlat_h = jnp.radians(y2 - y1) * 0.5
+        dlon_h = jnp.radians(x2 - x1) * 0.5
+        a = (jnp.sin(dlat_h) ** 2
+             + jnp.cos(jnp.radians(y1)) * jnp.cos(jnp.radians(y2))
+             * jnp.sin(dlon_h) ** 2)
         d = 6378137.0 * 2.0 * jnp.arcsin(jnp.sqrt(a))
         # excess-precision fastmath can make lat-lat != 0; pin exact zeros
         same = (x1 == x2) & (y1 == y2)
@@ -54,11 +59,12 @@ def _metric_key(x1, x2, y1, y2, metric: int):
     arcsin per JFA neighbor candidate; `_metric_finalize` converts the
     winning key to the true distance once at the end."""
     if metric == GREAT_CIRCLE:
-        lat1, lon1 = jnp.radians(y1), jnp.radians(x1)
-        lat2, lon2 = jnp.radians(y2), jnp.radians(x2)
-        a = (jnp.sin((lat2 - lat1) / 2.0) ** 2
-             + jnp.cos(lat1) * jnp.cos(lat2)
-             * jnp.sin((lon2 - lon1) / 2.0) ** 2)
+        # degrees-first deltas: see metric_distance
+        dlat_h = jnp.radians(y2 - y1) * 0.5
+        dlon_h = jnp.radians(x2 - x1) * 0.5
+        a = (jnp.sin(dlat_h) ** 2
+             + jnp.cos(jnp.radians(y1)) * jnp.cos(jnp.radians(y2))
+             * jnp.sin(dlon_h) ** 2)
         same = (x1 == x2) & (y1 == y2)
         return jnp.where(same, 0.0, a).astype(jnp.float32)
     if metric == MANHATTAN:

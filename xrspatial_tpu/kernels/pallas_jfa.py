@@ -62,18 +62,77 @@ def use_pallas_jfa(h, w, metric) -> bool:
         return False
     from .jfa import GREAT_CIRCLE
     if metric == GREAT_CIRCLE and \
-            os.environ.get("XRSPATIAL_PALLAS_GREAT_CIRCLE") != "1":
-        # validated exact, but the trig-heavy unrolled selects take ~26
-        # MINUTES to compile through Mosaic (vs ~1 min for the other
-        # metrics); the XLA scan path compiles fast and runs ~0.7 s at
-        # 4096^2 — the better default until the compile cost drops
-        return False
+            os.environ.get("XRSPATIAL_PALLAS_GREAT_CIRCLE") == "0":
+        return False  # escape hatch back to the XLA scan path
     return min(h, w) >= 512
 
 
+# minimax-fitted polynomial trig for the in-kernel great-circle key:
+# Mosaic compiles real sin/cos in unrolled select chains pathologically
+# (~26 min), while mul/add chains are cheap (precedent: pallas_surface's
+# _atan/_atan2).  sin over |x| <= pi (abs err 7.7e-9) and cos over
+# |x| <= pi/2 (abs err 6.8e-10) — both below f32 resolution.  Domains
+# hold because great-circle inputs are validated lon/lat degrees:
+# |dlon/2|, |dlat/2| <= pi and |lat| <= pi/2 in radians.
+_SIN_COEF = (9.999999994768e-01, -1.666666610845e-01, 8.333323683243e-03,
+             -1.984064744377e-04, 2.753825574372e-06, -2.475214500289e-08,
+             1.369737114320e-10)
+_COS_COEF = (9.999999998457e-01, -4.999999951157e-01, 4.166664188194e-02,
+             -1.388843240483e-03, 2.476377060755e-05, -2.611502420073e-07)
+
+
+def _poly_even(coef, x):
+    t = x * x
+    acc = jnp.float32(coef[-1])
+    for c in coef[-2::-1]:
+        acc = acc * t + jnp.float32(c)
+    return acc
+
+
+def _sin_poly(x):
+    return x * _poly_even(_SIN_COEF, x)
+
+
+def _cos_poly(x):
+    return _poly_even(_COS_COEF, x)
+
+
+_DEG2RAD = 0.017453292519943295
+
+
+def _gc_key_poly(px, ctx, py, cty):
+    """Polynomial haversine comparison key: sin^2(dlat/2) +
+    cos(lat1) cos(lat2) sin^2(dlon/2), identical structure to the XLA
+    scan path's _metric_key (same subtractions of nearby degree values,
+    so small-separation precision matches); only the final trig is
+    polynomial.  The winning candidate's TRUE distance is recomputed
+    with exact trig in the XLA epilogue, so distances are unaffected —
+    the poly only orders candidates (near-tie orderings may differ,
+    the documented deviation class)."""
+    half = jnp.float32(_DEG2RAD * 0.5)
+    slat = _sin_poly((cty - py) * half)
+    slon = _sin_poly((ctx - px) * half)
+    clat1 = _cos_poly(py * jnp.float32(_DEG2RAD))
+    clat2 = _cos_poly(cty * jnp.float32(_DEG2RAD))
+    a = slat * slat + clat1 * clat2 * (slon * slon)
+    same = (px == ctx) & (py == cty)
+    return jnp.where(same, jnp.float32(0.0), a)
+
+
 def _key(px, ctx, py, cty, metric: int):
-    """Monotone candidate key (kernels/jfa.py::_metric_key), with inf
-    for inf-coordinate (no-target / pad) candidates."""
+    """Monotone candidate key with inf for inf-coordinate (no-target /
+    pad) candidates.  In-kernel form: great-circle uses the polynomial
+    key; the epilogue recomputes the exact key via _key_exact."""
+    from .jfa import GREAT_CIRCLE, _metric_key
+    if metric == GREAT_CIRCLE:
+        d = _gc_key_poly(px, ctx, py, cty)
+    else:
+        d = _metric_key(px, ctx, py, cty, metric)
+    return jnp.where(jnp.isfinite(ctx), d, jnp.float32(jnp.inf))
+
+
+def _key_exact(px, ctx, py, cty, metric: int):
+    """Exact-trig key for the final distance (XLA epilogue)."""
     from .jfa import _metric_key
     d = _metric_key(px, ctx, py, cty, metric)
     return jnp.where(jnp.isfinite(ctx), d, jnp.float32(jnp.inf))
@@ -186,6 +245,96 @@ def _multi_round_small(state, xs2, ys2, ks, C, metric):
     return list(outs) if C > 1 else [outs]
 
 
+TR = 128          # row-strip height for the 3-view large rounds
+
+
+def _rows_vmem_ok(WP: int, C: int) -> bool:
+    """Row-strip VMEM budget: (3 views + 1 out) * C strips, double-
+    buffered across grid steps, plus coordinate strips."""
+    per_strip = TR * WP * 4
+    return (8 * C + 2) * per_strip < 90 * 1024 * 1024
+
+
+@partial(jax.jit, static_argnames=("C", "metric"))
+def _large_round_rows(m, state, xs2, ys2, C, metric):
+    """Tile-jump round with ROW-STRIP blocks: 3 row-band views per
+    channel instead of 9 tile views — the x-offset candidates come from
+    in-VMEM lane rotations (pltpu.roll) of the strips already loaded.
+    Cuts a round's HBM traffic from 9 reads + 1 write to 3 reads +
+    1 write per channel (the measured floor of the 9-view form,
+    BENCH_NOTES round 2).
+
+    Rotation wrap-around injects far-side candidates at the strip edges;
+    those are VALID candidates (their keys are computed from genuine
+    carried target coordinates, or inf pad), and JFA tolerates extra
+    candidates — every REQUIRED propagation path is an in-bounds shift,
+    which rotation preserves.  The y direction keeps the clamped
+    strip-index jump of the tile form (strip height TR divides every
+    stride >= T).
+    """
+    HP = ys2.shape[0]
+    WP = xs2.shape[1]
+    gi = HP // TR
+
+    def view_spec(dy):
+        return pl.BlockSpec(
+            (TR, WP),
+            lambda i, m_ref, dy=dy: (
+                jnp.clip(i + dy * m_ref[0] * (T // TR), 0, gi - 1), 0),
+            memory_space=pltpu.VMEM)
+
+    def kernel(m_ref, *refs):
+        views = refs[:3 * C]
+        px_t = jnp.broadcast_to(refs[3 * C][...][0:1, :], (TR, WP))
+        py_t = jnp.broadcast_to(refs[3 * C + 1][...][:, 0:1], (TR, WP))
+        outs = refs[3 * C + 2:]
+        shift = m_ref[0] * T
+        cur = [views[C + c][...] for c in range(C)]  # dy=0 view
+        best = _key(px_t, cur[0], py_t, cur[1], metric)
+        for vi in range(3):  # dy = -1, 0, +1 views
+            row = [views[vi * C + c][...] for c in range(C)]
+            for sx in (-1, 0, 1):
+                if vi == 1 and sx == 0:
+                    continue  # own cell is the initial state
+                if sx == 0:
+                    cand = row
+                else:
+                    # keep the dynamic shift non-negative: -s ≡ WP-s
+                    amt = shift if sx < 0 else WP - shift
+                    cand = [pltpu.roll(a, amt, 1) for a in row]
+                best, cur = _select(best, cur, cand, px_t, py_t, metric)
+        for o, v in zip(outs, cur):
+            o[...] = v
+
+    in_specs = []
+    for dy in (-1, 0, 1):
+        in_specs += [view_spec(dy)] * C
+    xs_spec = pl.BlockSpec((8, WP), lambda i, m_ref: (0, 0),
+                           memory_space=pltpu.VMEM)
+    ys_spec = pl.BlockSpec((TR, 128), lambda i, m_ref: (i, 0),
+                           memory_space=pltpu.VMEM)
+    out_spec = pl.BlockSpec((TR, WP), lambda i, m_ref: (i, 0),
+                            memory_space=pltpu.VMEM)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(gi,),
+        in_specs=in_specs + [xs_spec, ys_spec],
+        out_specs=[out_spec] * C,
+    )
+    ins = []
+    for _ in range(3):
+        ins += list(state)
+    outs = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[jax.ShapeDtypeStruct((HP, WP), jnp.float32)] * C,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=100 * 1024 * 1024),
+    )(jnp.full((1,), m, jnp.int32), *ins, xs2, ys2)
+    return list(outs)
+
+
 @partial(jax.jit, static_argnames=("C", "metric"))
 def _large_round(m, state, xs2, ys2, C, metric):
     HP = ys2.shape[0]
@@ -277,9 +426,12 @@ def jfa_rounds_pallas(tx_w, ty_w, tval, xs, ys, strides, metric, with_val):
     small = [k for k in strides if k < T]
 
     if large:
+        round_fn = (_large_round_rows if _rows_vmem_ok(wp + 2 * T, C)
+                    else _large_round)
+
         def big_body(st, m):
-            return tuple(_large_round(m, list(st), xs2, ys2, C,
-                                      metric)), None
+            return tuple(round_fn(m, list(st), xs2, ys2, C,
+                                  metric)), None
         st, _ = jax.lax.scan(big_body, tuple(state),
                              jnp.asarray(large, jnp.int32))
         state = list(st)
@@ -302,5 +454,5 @@ def jfa_rounds_pallas(tx_w, ty_w, tval, xs, ys, strides, metric, with_val):
     tv = crop(state[2]) if with_val else None
     px = jnp.broadcast_to(xs.astype(jnp.float32)[None, :], (h, w))
     py = jnp.broadcast_to(ys.astype(jnp.float32)[:, None], (h, w))
-    best = _key(px, tx, py, ty, metric)
+    best = _key_exact(px, tx, py, ty, metric)
     return tx, ty, tv, best

@@ -99,10 +99,7 @@ def _bucket_plan(at, vp_row, vp_col, C):
         los = np.searchsorted(ta1, starts - W, side="left")
         his = np.searchsorted(ta1, ends + W, side="right")
         E = _round_up(int((his - los).max()), 128)
-        # clamp so the fixed-length slice stays in-bounds (extra
-        # candidates from clamping are filtered by the exact cover test)
-        los = np.minimum(los, max(0, tidx.size - E)).astype(np.int32)
-        tiers.append((tidx, np.maximum(los, 0), E))
+        tiers.append((tidx, los, E))
     return tperm, glob_idx, tiers, A, C
 
 
@@ -130,18 +127,31 @@ def viewshed_grid_exact(data, vp_row: int, vp_col: int,
             "grad_t": jnp.asarray(at["grad_t"][tperm]),
             "idx": jnp.asarray(tperm.astype(np.int64)),
         }
-        glob = _blocker_table(at, glob_idx)
+        # pad the global and tier tables up to coarse length quanta:
+        # table lengths are compile-time shapes, so exact sizes would
+        # recompile on every viewpoint move; inert pad entries are
+        # filtered by the predicate (valid_b False -> -inf)
+        def pad_tab(tab, L):
+            cur = tab["idx"].shape[0]
+            if cur >= L:
+                return tab
+            pad = L - cur
+            return {f: jnp.pad(v, (0, pad),
+                               constant_values=(False if f == "valid_b"
+                                                else -1 if f == "idx"
+                                                else 0.0))
+                    for f, v in tab.items()}
+
+        glob = pad_tab(_blocker_table(at, glob_idx),
+                       _round_up(glob_idx.size, 1024))
         tier_tabs = []
         tier_los = []
         for tidx, los, E in tiers:
-            tab = _blocker_table(at, tidx)
-            if tidx.size < E:  # pad with inert entries
-                pad = E - tidx.size
-                tab = {f: jnp.pad(v, (0, pad),
-                                  constant_values=(False if f == "valid_b"
-                                                   else -1 if f == "idx"
-                                                   else 0.0))
-                       for f, v in tab.items()}
+            L = max(E, _round_up(tidx.size, 16384))
+            tab = pad_tab(_blocker_table(at, tidx), L)
+            # clamp so the fixed-length slice stays in-bounds (extra
+            # candidates from clamping are filtered by the cover test)
+            los = np.minimum(np.maximum(los, 0), L - E).astype(np.int32)
             tier_tabs.append((tab, E))
             tier_los.append(jnp.asarray(los))
 

@@ -102,8 +102,22 @@ def _process(raster, x, y, target_values, max_distance, distance_metric,
     if max_distance is None:
         max_distance = np.inf
 
-    xs = jnp.asarray(np.asarray(raster[x].data, dtype=np.float32))
-    ys = jnp.asarray(np.asarray(raster[y].data, dtype=np.float32))
+    xs_np = np.asarray(raster[x].data, dtype=np.float32)
+    ys_np = np.asarray(raster[y].data, dtype=np.float32)
+    if metric == GREAT_CIRCLE:
+        # reference proximity.py:90-135 validates lon/lat per pixel pair;
+        # validating the coordinate vectors up front is equivalent (and
+        # the in-kernel polynomial trig relies on these domains)
+        if xs_np.size and (xs_np.min() < -180 or xs_np.max() > 180):
+            raise ValueError(
+                "Invalid x-coordinate for great circle distance. "
+                "Must be in the range [-180, 180]")
+        if ys_np.size and (ys_np.min() < -90 or ys_np.max() > 90):
+            raise ValueError(
+                "Invalid y-coordinate for great circle distance. "
+                "Must be in the range [-90, 90]")
+    xs = jnp.asarray(xs_np)
+    ys = jnp.asarray(ys_np)
     img = jnp.asarray(raster.data)
 
     mask = _target_mask(img, target_values)
