@@ -71,15 +71,12 @@ def _atan_of_sqrt(s):
 
 
 def _make_kernel(which, th, tw):
-    """Tile kernel with fully lane-ALIGNED compute: vertical neighbors
-    come from sublane slices (cheap), horizontal neighbors from
-    pltpu.roll lane rotations — every op and the interior store stay
-    128-lane aligned (the round-2 version's 1-lane-offset slices forced
-    a relayout on every operand and a masked store; measured ~25% of the
-    stencil wall time at 16k^2).  The rotation-wrapped first/last column
-    of each tile is garbage by construction — exactly the column-seam
-    cells the XLA post-pass overwrites (surface_tiled step 2), and the
-    seam ROWS come from the band inputs as before."""
+    """In-session 2x2 A/B at 16k^2 (tools/exp_slope_ab2.py): for the
+    3x3 SURFACE stencil, sliced windows beat pltpu.roll lane rotations
+    (slope 4.96 ms sliced vs 7.45 rolled) — the opposite of the focal
+    kernel, whose 27 window reads amortize rotation better than
+    misaligned slices (pallas_window2).  The divide-free
+    _atan_of_sqrt is the big slope win (6.51 -> 4.96 ms)."""
     k = len(which)
 
     def kernel(csx_ref, csy_ref, sin_a_ref, cos_a_ref, sin_p_ref, cos_p_ref,
@@ -87,18 +84,9 @@ def _make_kernel(which, th, tw):
         rb = band_and_out_refs[:k]
         out_refs = band_and_out_refs[k:]
         x = in_ref[...]
-        xm, xc, xp = x[:-2, :], x[1:-1, :], x[2:, :]   # (th-2, tw), aligned
-
-        def lr(v):
-            # pltpu.roll requires non-negative shifts; -1 ≡ tw-1 (mod tw)
-            return pltpu.roll(v, 1, 1), pltpu.roll(v, tw - 1, 1)
-
-        a, c = lr(xm)
-        b = xm
-        d, f = lr(xc)
-        e = xc
-        g, ii = lr(xp)
-        hh = xp
+        a, b, c = x[:-2, :-2], x[:-2, 1:-1], x[:-2, 2:]
+        d, e, f = x[1:-1, :-2], x[1:-1, 1:-1], x[1:-1, 2:]
+        g, hh, ii = x[2:, :-2], x[2:, 1:-1], x[2:, 2:]
 
         need_horn = any(s in which for s in ("slope", "aspect"))
         if need_horn:
@@ -110,7 +98,8 @@ def _make_kernel(which, th, tw):
             if stat == "slope":
                 gx = dzdx8 * (0.125 / csx_ref[0, 0])
                 gy = dzdy8 * (0.125 / csy_ref[0, 0])
-                out[1:th - 1, :] = _atan_of_sqrt(gx * gx + gy * gy) * DEG
+                out[1:th - 1, 1:tw - 1] = _atan_of_sqrt(
+                    gx * gx + gy * gy) * DEG
             elif stat == "aspect":
                 gx = dzdx8 * 0.125
                 gy = dzdy8 * 0.125
@@ -119,12 +108,12 @@ def _make_kernel(which, th, tw):
                     angle < 0.0, 90.0 - angle,
                     jnp.where(angle > 90.0, 450.0 - angle, 90.0 - angle))
                 flat = (gx == 0.0) & (gy == 0.0)
-                out[1:th - 1, :] = jnp.where(flat, -1.0, compass)
+                out[1:th - 1, 1:tw - 1] = jnp.where(flat, -1.0, compass)
             elif stat == "curvature":
                 cs = (csx_ref[0, 0] + csy_ref[0, 0]) * 0.5
                 dd = (hh + b) * 0.5 - e
                 ee = (f + d) * 0.5 - e
-                out[1:th - 1, :] = -2.0 * (dd + ee) * 100.0 / (cs * cs)
+                out[1:th - 1, 1:tw - 1] = -2.0 * (dd + ee) * 100.0 / (cs * cs)
             elif stat == "hillshade":
                 gxr = (hh - b) * 0.5
                 gyc = (f - d) * 0.5
@@ -132,7 +121,7 @@ def _make_kernel(which, th, tw):
                            + cos_a_ref[0, 0] * (cos_p_ref[0, 0] * gyc
                                                 - sin_p_ref[0, 0] * gxr))
                           * jax.lax.rsqrt(1.0 + gxr * gxr + gyc * gyc))
-                out[1:th - 1, :] = (shaded + 1.0) / 2.0
+                out[1:th - 1, 1:tw - 1] = (shaded + 1.0) / 2.0
             # seam rows (incl. the top/bottom NaN ring rows),
             # precomputed outside by the strided-slice band pass
             out[0:1, :] = rb[kk][0:1, :]
