@@ -47,7 +47,7 @@ from .surface import (DEG, aspect_from_neighbors, curvature_from_center,
 __all__ = ["surface_tiled"]
 
 TILE_H = 256
-TILE_W = 2048
+TILE_W = 4096  # 16k^2 sweep: ~10% over 2048 for slope AND focal
 
 
 def _round_up(x, m):

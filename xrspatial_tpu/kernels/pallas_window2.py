@@ -38,7 +38,7 @@ from .window import window_stats
 __all__ = ["focal_stats_tiled", "tiled_radius_supported"]
 
 TILE_H = 256
-TILE_W = 2048
+TILE_W = 4096  # 16k^2 sweep: ~10% over 2048 for slope AND focal
 
 
 def _round_up(x, m):
