@@ -83,6 +83,28 @@ def test_proximity_great_circle():
     np.testing.assert_allclose(out, expected, rtol=1e-4)
 
 
+def test_great_circle_f32_near_coincident_precision():
+    """Degrees-first deltas keep f32 great-circle distances accurate for
+    near-coincident points (radians-first lost ~20% relative there —
+    the reference runs in f64 where the order is invisible)."""
+    import jax.numpy as jnp
+
+    from xrspatial_tpu.kernels.jfa import GREAT_CIRCLE, metric_distance
+    rng = np.random.default_rng(1)
+    lon1 = rng.uniform(-179, 179, 2000).astype(np.float32)
+    lat1 = rng.uniform(-89, 89, 2000).astype(np.float32)
+    lon2 = (lon1 + rng.uniform(-0.01, 0.01, 2000)).astype(np.float32)
+    lat2 = (lat1 + rng.uniform(-0.01, 0.01, 2000)).astype(np.float32)
+    got = np.asarray(metric_distance(jnp.asarray(lon1), jnp.asarray(lon2),
+                                     jnp.asarray(lat1), jnp.asarray(lat2),
+                                     GREAT_CIRCLE)).astype(np.float64)
+    ref = np.array([great_circle_distance(float(a), float(b), float(c),
+                                          float(d))
+                    for a, b, c, d in zip(lon1, lon2, lat1, lat2)])
+    m = ref > 1.0  # beyond f32 coordinate quantization (~1 m at 100 deg)
+    np.testing.assert_allclose(got[m], ref[m], rtol=2e-4)
+
+
 def test_proximity_target_values(raster):
     data = np.asarray(raster.data).copy()
     data[2, 2] = 7.0

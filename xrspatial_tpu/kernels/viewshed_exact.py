@@ -98,7 +98,11 @@ def _bucket_plan(at, vp_row, vp_col, C):
         ta1 = a1[tidx]
         los = np.searchsorted(ta1, starts - W, side="left")
         his = np.searchsorted(ta1, ends + W, side="right")
-        E = _round_up(int((his - los).max()), 128)
+        # next power of two: the eval-block shapes come from E, so a
+        # small shape menu keeps the XLA program stable across
+        # viewpoints/rasters (compile reuse) at <=2x extra masked work
+        need = max(int((his - los).max()), 128)
+        E = 1 << (need - 1).bit_length()
         tiers.append((tidx, los, E))
     return tperm, glob_idx, tiers, A, C
 
@@ -112,7 +116,9 @@ def viewshed_grid_exact(data, vp_row: int, vp_col: int,
     jit trace is a silent no-op — the f64 uploads and the jitted
     evaluation must both see it).
     """
+    import os
     from ..utils import x64
+    chunk = int(os.environ.get("XRSPATIAL_VS_EXACT_CHUNK", chunk))
     data_np = np.asarray(data, dtype=np.float64)
     at = cell_attrs_host(data_np, vp_row, vp_col, observer_elev,
                          target_elev, ew_res, ns_res)
