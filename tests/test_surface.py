@@ -213,3 +213,43 @@ def test_hillshade_shadows():
     north_side = out[5:15, 5:25]
     south_side = out[18:28, 5:25]
     assert north_side.mean() < south_side.mean()
+
+
+# ---------------------------------------------------------------------------
+# terrain_pipeline (fused surface + focal pass)
+# ---------------------------------------------------------------------------
+
+def test_terrain_pipeline_matches_separate_ops(elevation_raster_no_nans):
+    from xrspatial_tpu.analytics import terrain_pipeline
+    from xrspatial_tpu.convolution import circle_kernel
+    from xrspatial_tpu.focal import focal_stats
+
+    agg = create_test_raster(elevation_raster_no_nans,
+                             attrs={"res": (1, 1)}, name="dem")
+    stats = ("mean", "max", "min", "std")
+    ds = terrain_pipeline(agg, surface=("slope", "hillshade"),
+                          stats_funcs=stats)
+    assert set(ds.data_vars) == {"dem", "dem-slope", "dem-hillshade",
+                                 "focal_stats"}
+    np.testing.assert_allclose(
+        np.asarray(ds["dem-slope"].data),
+        np.asarray(slope(agg).data), equal_nan=True, rtol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(ds["dem-hillshade"].data),
+        np.asarray(hillshade(agg).data), equal_nan=True, rtol=1e-6)
+    fs = focal_stats(agg, circle_kernel(1, 1, 1.5), stats_funcs=list(stats))
+    np.testing.assert_allclose(np.asarray(ds["focal_stats"].data),
+                               np.asarray(fs.data), equal_nan=True,
+                               rtol=1e-6)
+    assert list(np.asarray(ds["focal_stats"].coords["stats"].data)) == \
+        list(stats)
+
+
+def test_terrain_pipeline_validates_args(elevation_raster_no_nans):
+    from xrspatial_tpu.analytics import terrain_pipeline
+    agg = create_test_raster(elevation_raster_no_nans,
+                             attrs={"res": (1, 1)}, name="dem")
+    with pytest.raises(ValueError):
+        terrain_pipeline(agg, surface=("slope", "nope"))
+    with pytest.raises(ValueError):
+        terrain_pipeline(agg, stats_funcs=("mean", "nope"))

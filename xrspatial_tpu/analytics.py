@@ -10,11 +10,12 @@ computes all three from a single fused neighborhood gather
 from __future__ import annotations
 
 import jax.numpy as jnp
+import numpy as np
 
 from .utils import get_dataarray_resolution, to_jax, wrap_like
 from .xrlib import DataArray, Dataset
 
-__all__ = ["summarize_terrain"]
+__all__ = ["summarize_terrain", "terrain_pipeline"]
 
 
 def summarize_terrain(terrain: DataArray) -> Dataset:
@@ -39,4 +40,73 @@ def summarize_terrain(terrain: DataArray) -> Dataset:
                                                 f'{terrain.name}-curvature')
     ds[f'{terrain.name}-aspect'] = wrap_like(terrain, outs["aspect"],
                                              f'{terrain.name}-aspect')
+    return ds
+
+
+def terrain_pipeline(agg: DataArray,
+                     surface=("slope", "hillshade"),
+                     kernel=None,
+                     stats_funcs=("mean", "max", "min", "std"),
+                     azimuth: float = 225.0,
+                     angle_altitude: float = 25.0) -> Dataset:
+    """Surface products + focal statistics of one DEM in a single pass.
+
+    Results are identical to calling ``slope``/``aspect``/``curvature``/
+    ``hillshade`` and ``focal_stats`` separately; on TPU at scale with a
+    radius-1 focal kernel the whole set is computed by ONE fused Pallas
+    tile stream (kernels/pallas_pipeline.py) — the DEM is read from HBM
+    once instead of once per op.  TPU-native addition (the reference runs
+    each op as its own full pass; cf. analytics.py:6-87's per-op calls).
+
+    Returns a Dataset with one variable per surface product plus
+    ``focal_stats`` as a (stats, y, x) stack (same layout as
+    ``focal.focal_stats``).
+    """
+    from .convolution import circle_kernel, custom_kernel
+    from .focal import _STAT_NAMES, focal_stats
+    from .kernels.surface import surface_kernels
+    from .parallel.halo import get_raster_mesh
+
+    if agg.ndim != 2:
+        raise ValueError("`agg` must be 2D")
+    for s in stats_funcs:
+        if s not in _STAT_NAMES:
+            raise ValueError(f"unknown stat {s!r}; supported: {_STAT_NAMES}")
+    known = ("slope", "aspect", "curvature", "hillshade")
+    for p in surface:
+        if p not in known:
+            raise ValueError(f"unknown surface product {p!r}; "
+                             f"supported: {known}")
+    if kernel is None:
+        kernel = circle_kernel(1, 1, 1.5)
+    kernel = custom_kernel(np.asarray(kernel))
+    cellsize_x, cellsize_y = get_dataarray_resolution(agg)
+    data = to_jax(agg)
+
+    if get_raster_mesh(data) is None:
+        # one fused Pallas/XLA pass for ALL surface products (on TPU at
+        # scale surface_kernels lowers to the multi-output surface_tiled
+        # kernel — one tile stream, one HBM read of the DEM).  A 16k^2
+        # A/B (tools/exp_fused_pipeline2.py, BENCH_NOTES round 3) found
+        # this 2-way split ~9% faster than a single 6-output mega-kernel
+        # fusing the focal statistics in too: per-kernel effective
+        # bandwidth drops with output count on v5e (1 out 433 GB/s,
+        # 2 out 347, 6 out ~300), so sharing the surface pass and
+        # keeping focal_stats' own kernel wins.
+        surf_outs = surface_kernels(data, tuple(surface), cellsize_x,
+                                    cellsize_y, azimuth, angle_altitude)
+    else:
+        # mesh-sharded input: per-product run_stencil dispatch keeps the
+        # halo machinery engaged
+        from .kernels.surface import run_surface_op
+        surf_outs = {p: run_surface_op(p, data, cellsize_x, cellsize_y,
+                                       azimuth, angle_altitude)
+                     for p in surface}
+
+    name = agg.name or "terrain"
+    ds = agg.to_dataset(name=name)
+    for p in surface:
+        ds[f'{name}-{p}'] = wrap_like(agg, surf_outs[p], f'{name}-{p}')
+    ds["focal_stats"] = focal_stats(
+        agg, kernel, stats_funcs=list(stats_funcs)).rename("focal_stats")
     return ds
