@@ -10,9 +10,10 @@ ONE compilation each (compile time through the remote-compile service
 dominates multi-program designs):
 
 - `small` (stride < T): several consecutive rounds fuse into ONE
-  emit_pipeline kernel via overlapped halo windows (halo = sum of the
-  group's strides, greedily capped); round r+1 reads cells round r
-  updated in-VMEM, so a whole group costs one read+write of the state.
+  kernel; each grid step stitches its 3x3 aligned neighbor tiles into a
+  VMEM composite (halo = sum of the group's strides <= T, greedily
+  capped) and runs the rounds on shrinking static windows, so a whole
+  group costs one aligned 9-read+1-write sweep of the state.
 - `large` (stride = m*T): classic-pipeline tile jumps; the 8 neighbor
   tiles are separate block inputs whose index maps read the jump `m`
   from a scalar-prefetch argument (PrefetchScalarGridSpec), so every
@@ -45,13 +46,12 @@ from jax.experimental.pallas import tpu as pltpu
 
 __all__ = ["jfa_rounds_pallas", "use_pallas_jfa"]
 
-T = 256           # large-round block edge (and pad width)
-TS = 256          # small-kernel output tile (windowed emit_pipeline)
-# Measured at 4096^2 (tools/profile_jfa.py): a large round costs ~26 ms
-# for EITHER block size (256 or 512) — the tile-jump rounds are not
-# DMA-setup bound — while the windowed single-round [256] group (32 ms)
-# loses to the m=1 tile-jump round (27 ms), so 256/256 is the best of
-# the configurations tried.
+T = 256           # block edge (and pad width) for every JFA kernel
+# Round-3 measurements (tools/profile_jfa.py, burst-timed): a tile-jump
+# round at 4096^2 costs 2.3 ms (~730 GB/s of its nominal 9-read+1-write
+# traffic) and BEATS the 3-view row-strip form (3.5 ms) that round 3
+# briefly shipped — aligned (T, T) block streams are this chip's fast
+# path, so the row-strip kernel was removed again.
 
 
 def use_pallas_jfa(h, w, metric) -> bool:
@@ -151,187 +151,105 @@ def _round_up(x, m):
 
 @partial(jax.jit, static_argnames=("ks", "C", "metric"))
 def _multi_round_small(state, xs2, ys2, ks, C, metric):
-    """Several small-stride rounds fused into ONE kernel via overlapped
-    tiling: the window carries halo H = sum(ks); each round shrinks the
-    valid region by its stride, so round r+1 reads halo cells that round
-    r updated in-VMEM — exactly the global round sequence.  Every slice
-    is static (Mosaic rejects dynamic unaligned VMEM slices), and window
-    starts are written as 8*(...)/128*(...) so alignment is syntactically
-    provable.  ks groups come from the greedy halo-budget split in
+    """Several small-stride rounds fused into ONE kernel: each grid step
+    loads the 3x3 ALIGNED neighbor tiles of its output tile (halo budget
+    sum(ks) <= T), stitches them into a (3T, 3T) VMEM composite, and runs
+    the round sequence on shrinking static windows of it — round r+1
+    reads halo cells round r updated in-VMEM, exactly the global round
+    order.  ks groups come from the greedy halo-budget split in
     jfa_rounds_pallas, so only a few groups compile per (C, metric).
+
+    Round-3 rewrite: the previous form streamed one overlapped
+    (T+2H, T+2H) BoundedSlice window per tile through emit_pipeline and
+    measured ~55-95 GB/s; aligned (T, T) block reads run at ~700 GB/s on
+    this chip (tools/profile_jfa.py), so reading MORE bytes in aligned
+    form is ~4x faster end-to-end.
+
+    Edge behavior: neighbor-tile indices clamp at the grid border; the
+    state is padded by one full tile (pad T >= halo), so only pure-pad
+    tiles ever clamp and their cells carry valid-if-arbitrary relay
+    values (module docstring), never garbage.
     """
     HP = ys2.shape[0]
     WP = xs2.shape[1]
     H = sum(ks)
-    Hs = _round_up(H, 8)
-    Hl = _round_up(H, 128)
-    Sy, Sx = TS + 2 * Hs, TS + 2 * Hl
-    gi, gj = HP // TS, WP // TS
+    assert H <= T, ks
+    gi, gj = HP // T, WP // T
+    offs = [(sy, sx) for sy in (-1, 0, 1) for sx in (-1, 0, 1)]
 
-    def ystart(i):
-        return 8 * jnp.clip(i * (TS // 8) - Hs // 8, 0, (HP - Sy) // 8)
-
-    def xstart(j):
-        return 128 * jnp.clip(j * (TS // 128) - Hl // 128, 0,
-                              (WP - Sx) // 128)
-
-    def outer(*hbm_refs):
-        def inner(*refs):
-            wins = [r[...] for r in refs[:C]]
-            # coordinates ride as 1-D vectors and broadcast in-VMEM: the
-            # (Sy, Sx) coordinate planes never touch HBM (they were half
-            # the window traffic for C=2)
-            pxw = jnp.broadcast_to(refs[C][...][0:1, :], (Sy, Sx))
-            pyw = jnp.broadcast_to(refs[C + 1][...][:, 0:1], (Sy, Sx))
-            outs = refs[C + 2:]
-            # normalize the halo to exactly H on all sides
-            oy, ox = Hs - H, Hl - H
-            sz = TS + 2 * H
-            cur = [a[oy:oy + sz, ox:ox + sz] for a in wins]
-            pxc = pxw[oy:oy + sz, ox:ox + sz]
-            pyc = pyw[oy:oy + sz, ox:ox + sz]
-            best = _key(pxc, cur[0], pyc, cur[1], metric)
-            r = H
-            for k in ks:
-                sz = TS + 2 * (r - k)
-                own = [a[k:k + sz, k:k + sz] for a in cur]
-                nb = best[k:k + sz, k:k + sz]
-                pxn = pxc[k:k + sz, k:k + sz]
-                pyn = pyc[k:k + sz, k:k + sz]
-                for sy in (-1, 0, 1):
-                    for sx in (-1, 0, 1):
-                        if sy == 0 and sx == 0:
-                            continue
-                        cand = [a[k + sy * k:k + sy * k + sz,
-                                  k + sx * k:k + sx * k + sz] for a in cur]
-                        nb, own = _select(nb, own, cand, pxn, pyn, metric)
-                cur, best, pxc, pyc, r = own, nb, pxn, pyn, r - k
-            for o, v in zip(outs, cur):
-                o[...] = v
-
-        # Output tiles are grid-aligned and disjoint (full coverage of the
-        # padded array).  Windows clamp at the edges; only the outermost
-        # pure-pad tiles clamp (pad = one full tile >= Hs), producing
-        # valid relay values (module docstring).
-        win_spec = pl.BlockSpec(
-            (pl.BoundedSlice(Sy), pl.BoundedSlice(Sx)),
-            lambda i, j: (pl.ds(ystart(i), Sy), pl.ds(xstart(j), Sx)))
-        # coordinate strips: min-tile-aligned (the lane/sublane tiling
-        # forbids width-1 blocks, so xs rides as 8 identical rows and ys
-        # as 128 identical lanes)
-        xs_spec = pl.BlockSpec(
-            (pl.BoundedSlice(8), pl.BoundedSlice(Sx)),
-            lambda i, j: (pl.ds(0, 8), pl.ds(xstart(j), Sx)))
-        ys_spec = pl.BlockSpec(
-            (pl.BoundedSlice(Sy), pl.BoundedSlice(128)),
-            lambda i, j: (pl.ds(ystart(i), Sy), pl.ds(0, 128)))
-        out_spec = pl.BlockSpec((TS, TS), lambda i, j: (i, j))
-        pltpu.emit_pipeline(
-            inner,
-            grid=(gi, gj),
-            in_specs=[win_spec] * C + [xs_spec, ys_spec],
-            out_specs=[out_spec] * C,
-        )(*hbm_refs)
-
-    anyspec = pl.BlockSpec(memory_space=pl.ANY)
-    outs = pl.pallas_call(
-        outer,
-        in_specs=[anyspec] * (C + 2),
-        out_specs=[anyspec] * C,
-        out_shape=[jax.ShapeDtypeStruct((HP, WP), jnp.float32)] * C,
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024),
-    )(*state, xs2, ys2)
-    return list(outs) if C > 1 else [outs]
-
-
-TR = 128          # row-strip height for the 3-view large rounds
-
-
-def _rows_vmem_ok(WP: int, C: int) -> bool:
-    """Row-strip VMEM budget: (3 views + 1 out) * C strips, double-
-    buffered across grid steps, plus coordinate strips."""
-    per_strip = TR * WP * 4
-    return (8 * C + 2) * per_strip < 90 * 1024 * 1024
-
-
-@partial(jax.jit, static_argnames=("C", "metric"))
-def _large_round_rows(m, state, xs2, ys2, C, metric):
-    """Tile-jump round with ROW-STRIP blocks: 3 row-band views per
-    channel instead of 9 tile views — the x-offset candidates come from
-    in-VMEM lane rotations (pltpu.roll) of the strips already loaded.
-    Cuts a round's HBM traffic from 9 reads + 1 write to 3 reads +
-    1 write per channel (the measured floor of the 9-view form,
-    BENCH_NOTES round 2).
-
-    Rotation wrap-around injects far-side candidates at the strip edges;
-    those are VALID candidates (their keys are computed from genuine
-    carried target coordinates, or inf pad), and JFA tolerates extra
-    candidates — every REQUIRED propagation path is an in-bounds shift,
-    which rotation preserves.  The y direction keeps the clamped
-    strip-index jump of the tile form (strip height TR divides every
-    stride >= T).
-    """
-    HP = ys2.shape[0]
-    WP = xs2.shape[1]
-    gi = HP // TR
-
-    def view_spec(dy):
+    def view_spec(sy, sx):
         return pl.BlockSpec(
-            (TR, WP),
-            lambda i, m_ref, dy=dy: (
-                jnp.clip(i + dy * m_ref[0] * (T // TR), 0, gi - 1), 0),
+            (T, T),
+            lambda i, j, sy=sy, sx=sx: (jnp.clip(i + sy, 0, gi - 1),
+                                        jnp.clip(j + sx, 0, gj - 1)),
             memory_space=pltpu.VMEM)
 
-    def kernel(m_ref, *refs):
-        views = refs[:3 * C]
-        px_t = jnp.broadcast_to(refs[3 * C][...][0:1, :], (TR, WP))
-        py_t = jnp.broadcast_to(refs[3 * C + 1][...][:, 0:1], (TR, WP))
-        outs = refs[3 * C + 2:]
-        shift = m_ref[0] * T
-        cur = [views[C + c][...] for c in range(C)]  # dy=0 view
-        best = _key(px_t, cur[0], py_t, cur[1], metric)
-        for vi in range(3):  # dy = -1, 0, +1 views
-            row = [views[vi * C + c][...] for c in range(C)]
-            for sx in (-1, 0, 1):
-                if vi == 1 and sx == 0:
-                    continue  # own cell is the initial state
-                if sx == 0:
-                    cand = row
-                else:
-                    # keep the dynamic shift non-negative: -s ≡ WP-s
-                    amt = shift if sx < 0 else WP - shift
-                    cand = [pltpu.roll(a, amt, 1) for a in row]
-                best, cur = _select(best, cur, cand, px_t, py_t, metric)
-        for o, v in zip(outs, cur):
-            o[...] = v
+    def kernel(*refs):
+        views = refs[:9 * C]
+        xrow = jnp.concatenate(
+            [refs[9 * C + t][...][0:1, :] for t in range(3)], axis=1)
+        ycol = jnp.concatenate(
+            [refs[9 * C + 3 + t][...][:, 0:1] for t in range(3)], axis=0)
+        outs = refs[9 * C + 6:]
+        win = []
+        for c in range(C):
+            rows = [jnp.concatenate(
+                [views[((r * 3) + cc) * C + c][...] for cc in range(3)],
+                axis=1) for r in range(3)]
+            win.append(jnp.concatenate(rows, axis=0))
+        pxw = jnp.broadcast_to(xrow, (3 * T, 3 * T))
+        pyw = jnp.broadcast_to(ycol, (3 * T, 3 * T))
+        # normalize the halo to exactly H on all sides
+        o = T - H
+        sz = T + 2 * H
+        cur = [a[o:o + sz, o:o + sz] for a in win]
+        pxc = pxw[o:o + sz, o:o + sz]
+        pyc = pyw[o:o + sz, o:o + sz]
+        best = _key(pxc, cur[0], pyc, cur[1], metric)
+        r = H
+        for k in ks:
+            sz = T + 2 * (r - k)
+            own = [a[k:k + sz, k:k + sz] for a in cur]
+            nb = best[k:k + sz, k:k + sz]
+            pxn = pxc[k:k + sz, k:k + sz]
+            pyn = pyc[k:k + sz, k:k + sz]
+            for sy in (-1, 0, 1):
+                for sx in (-1, 0, 1):
+                    if sy == 0 and sx == 0:
+                        continue
+                    cand = [a[k + sy * k:k + sy * k + sz,
+                              k + sx * k:k + sx * k + sz] for a in cur]
+                    nb, own = _select(nb, own, cand, pxn, pyn, metric)
+            cur, best, pxc, pyc, r = own, nb, pxn, pyn, r - k
+        for o_ref, v in zip(outs, cur):
+            o_ref[...] = v
 
     in_specs = []
-    for dy in (-1, 0, 1):
-        in_specs += [view_spec(dy)] * C
-    xs_spec = pl.BlockSpec((8, WP), lambda i, m_ref: (0, 0),
-                           memory_space=pltpu.VMEM)
-    ys_spec = pl.BlockSpec((TR, 128), lambda i, m_ref: (i, 0),
-                           memory_space=pltpu.VMEM)
-    out_spec = pl.BlockSpec((TR, WP), lambda i, m_ref: (i, 0),
+    for sy, sx in offs:
+        in_specs += [view_spec(sy, sx)] * C
+    for sx in (-1, 0, 1):
+        in_specs.append(pl.BlockSpec(
+            (8, T), lambda i, j, sx=sx: (0, jnp.clip(j + sx, 0, gj - 1)),
+            memory_space=pltpu.VMEM))
+    for sy in (-1, 0, 1):
+        in_specs.append(pl.BlockSpec(
+            (T, 128), lambda i, j, sy=sy: (jnp.clip(i + sy, 0, gi - 1), 0),
+            memory_space=pltpu.VMEM))
+    out_spec = pl.BlockSpec((T, T), lambda i, j: (i, j),
                             memory_space=pltpu.VMEM)
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
-        grid=(gi,),
-        in_specs=in_specs + [xs_spec, ys_spec],
-        out_specs=[out_spec] * C,
-    )
     ins = []
-    for _ in range(3):
+    for _ in offs:
         ins += list(state)
     outs = pl.pallas_call(
         kernel,
-        grid_spec=grid_spec,
+        grid=(gi, gj),
+        in_specs=in_specs,
+        out_specs=[out_spec] * C,
         out_shape=[jax.ShapeDtypeStruct((HP, WP), jnp.float32)] * C,
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary",),
+            dimension_semantics=("arbitrary", "arbitrary"),
             vmem_limit_bytes=100 * 1024 * 1024),
-    )(jnp.full((1,), m, jnp.int32), *ins, xs2, ys2)
+    )(*ins, xs2, xs2, xs2, ys2, ys2, ys2)
     return list(outs)
 
 
@@ -426,12 +344,9 @@ def jfa_rounds_pallas(tx_w, ty_w, tval, xs, ys, strides, metric, with_val):
     small = [k for k in strides if k < T]
 
     if large:
-        round_fn = (_large_round_rows if _rows_vmem_ok(wp + 2 * T, C)
-                    else _large_round)
-
         def big_body(st, m):
-            return tuple(round_fn(m, list(st), xs2, ys2, C,
-                                  metric)), None
+            return tuple(_large_round(m, list(st), xs2, ys2, C,
+                                      metric)), None
         st, _ = jax.lax.scan(big_body, tuple(state),
                              jnp.asarray(large, jnp.int32))
         state = list(st)
