@@ -253,16 +253,20 @@ def _multi_round_small(state, xs2, ys2, ks, C, metric):
     return list(outs)
 
 
-@partial(jax.jit, static_argnames=("C", "metric"))
-def _large_round(m, state, xs2, ys2, C, metric):
+@partial(jax.jit, static_argnames=("C", "metric", "t"))
+def _large_round(m, state, xs2, ys2, C, metric, t=T):
+    """One tile-jump round at stride m*t.  t=T for strides >= T; t=128
+    runs the stride-128 round as its own tile-jump (128 is the lane
+    width, the smallest efficient block edge), which drops it out of the
+    fused small group and halves that group's carried halo."""
     HP = ys2.shape[0]
     WP = xs2.shape[1]
-    gi, gj = HP // T, WP // T
+    gi, gj = HP // t, WP // t
     offs = [(sy, sx) for sy in (-1, 0, 1) for sx in (-1, 0, 1)]
 
     def view_spec(sy, sx):
         return pl.BlockSpec(
-            (T, T),
+            (t, t),
             lambda i, j, m_ref: (jnp.clip(i + sy * m_ref[0], 0, gi - 1),
                                  jnp.clip(j + sx * m_ref[0], 0, gj - 1)),
             memory_space=pltpu.VMEM)
@@ -270,8 +274,8 @@ def _large_round(m, state, xs2, ys2, C, metric):
     def kernel(m_ref, *refs):
         # refs: 9 views per channel (offset-major), xs row, ys col, C outs
         views = refs[:9 * C]
-        px_t = jnp.broadcast_to(refs[9 * C][...][0:1, :], (T, T))
-        py_t = jnp.broadcast_to(refs[9 * C + 1][...][:, 0:1], (T, T))
+        px_t = jnp.broadcast_to(refs[9 * C][...][0:1, :], (t, t))
+        py_t = jnp.broadcast_to(refs[9 * C + 1][...][:, 0:1], (t, t))
         outs = refs[9 * C + 2:]
         own_i = offs.index((0, 0))
         cur = [views[own_i * C + c][...] for c in range(C)]
@@ -287,11 +291,11 @@ def _large_round(m, state, xs2, ys2, C, metric):
     in_specs = []
     for sy, sx in offs:
         in_specs += [view_spec(sy, sx)] * C
-    tile = pl.BlockSpec((T, T), lambda i, j, m_ref: (i, j),
+    tile = pl.BlockSpec((t, t), lambda i, j, m_ref: (i, j),
                         memory_space=pltpu.VMEM)
-    xs_spec = pl.BlockSpec((8, T), lambda i, j, m_ref: (0, j),
+    xs_spec = pl.BlockSpec((8, t), lambda i, j, m_ref: (0, j),
                            memory_space=pltpu.VMEM)
-    ys_spec = pl.BlockSpec((T, 128), lambda i, j, m_ref: (i, 0),
+    ys_spec = pl.BlockSpec((t, 128), lambda i, j, m_ref: (i, 0),
                            memory_space=pltpu.VMEM)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -341,7 +345,8 @@ def jfa_rounds_pallas(tx_w, ty_w, tval, xs, ys, strides, metric, with_val):
     ys2 = jnp.broadcast_to(ysp[:, None], (hp + 2 * T, 128))
 
     large = [k // T for k in strides if k >= T]
-    small = [k for k in strides if k < T]
+    mid = [k for k in strides if 128 <= k < T]  # the stride-128 round
+    small = [k for k in strides if k < 128]
 
     if large:
         def big_body(st, m):
@@ -350,6 +355,11 @@ def jfa_rounds_pallas(tx_w, ty_w, tval, xs, ys, strides, metric, with_val):
         st, _ = jax.lax.scan(big_body, tuple(state),
                              jnp.asarray(large, jnp.int32))
         state = list(st)
+    for k in mid:
+        # its own T=128 tile-jump round: keeps the fused small group's
+        # halo at <=130 (sum of the remaining strides + cleanup), whose
+        # first-round windows would otherwise be 3x the tile area
+        state = _large_round(k // 128, state, xs2, ys2, C, metric, t=128)
     if small:
         # greedy split: fuse consecutive rounds until the carried halo
         # (sum of strides) hits the VMEM window budget

@@ -82,14 +82,28 @@ def _make_kernel(which, th, tw):
     def kernel(csx_ref, csy_ref, sin_a_ref, cos_a_ref, sin_p_ref, cos_p_ref,
                in_ref, *band_and_out_refs):
         rb = band_and_out_refs[:k]
-        out_refs = band_and_out_refs[k:]
+        cb = band_and_out_refs[k:2 * k]
+        out_refs = band_and_out_refs[2 * k:]
         x = in_ref[...]
-        a, b, c = x[:-2, :-2], x[:-2, 1:-1], x[:-2, 2:]
-        d, e, f = x[1:-1, :-2], x[1:-1, 1:-1], x[1:-1, 2:]
-        g, hh, ii = x[2:, :-2], x[2:, 1:-1], x[2:, 2:]
+        need_cross = any(s in which for s in ("curvature", "hillshade"))
+        if need_cross:
+            b, hh = x[:-2, 1:-1], x[2:, 1:-1]
+            d, f = x[1:-1, :-2], x[1:-1, 2:]
+        if "curvature" in which:
+            e = x[1:-1, 1:-1]
 
         need_horn = any(s in which for s in ("slope", "aspect"))
         if need_horn:
+            # NOT the separable (smooth-then-diff) form: it is ~3%
+            # faster but its FP re-association drifts 3.3e-3 deg from
+            # the XLA twin (tools/exp_separable_horn.py + on-chip
+            # check), past the 5e-4 parity gate; the 9-window form
+            # matches to 1.5e-5 (the atan polynomial)
+            a, c = x[:-2, :-2], x[:-2, 2:]
+            g, ii = x[2:, :-2], x[2:, 2:]
+            if not need_cross:
+                b, hh = x[:-2, 1:-1], x[2:, 1:-1]
+                d, f = x[1:-1, :-2], x[1:-1, 2:]
             dzdx8 = (c + 2.0 * f + ii) - (a + 2.0 * d + g)
             dzdy8 = (g + 2.0 * hh + ii) - (a + 2.0 * b + c)
 
@@ -126,6 +140,14 @@ def _make_kernel(which, th, tw):
             # precomputed outside by the strided-slice band pass
             out[0:1, :] = rb[kk][0:1, :]
             out[th - 1:th, :] = rb[kk][1:2, :]
+            # seam columns (incl. the left/right NaN ring cols): lanes
+            # 0/1 of the column band carry this tile's first/last output
+            # column — writing them here replaces a post-kernel DUS
+            # chain that measured ~0.7 ms/product at 16k^2
+            # (tools/exp_seam_cost.py).  Column values win at corners,
+            # matching the old DUS order (both compute the same stencil)
+            out[:, 0:1] = cb[kk][:, 0:1]
+            out[:, tw - 1:tw] = cb[kk][:, 1:2]
 
     return kernel
 
@@ -211,38 +233,19 @@ def surface_tiled(data, cellsize_x, cellsize_y, azimuth, angle_altitude,
                         ((0, 0), (0, 6), (0, 0))).reshape(8 * gi, wp)
                 for r0, r1 in zip(rb0, rb1)]
 
-    scal = lambda v: jnp.full((1, 1), v, jnp.float32)  # noqa: E731
-    smem = pl.BlockSpec((1, 1), lambda i, j: (0, 0),
-                        memory_space=pltpu.SMEM)
+    # ---- column seams: per-tile bands the KERNEL writes into output
+    # cols 0 / tw-1 (lanes 0/1 of a (hp, 128) strip per tile).  The old
+    # post-kernel dynamic_update_slice chain cost ~0.7 ms/product at
+    # 16k^2 (tools/exp_seam_cost.py); contiguous 4-column slices remain
+    # ~free.  first[j] = tile j's first output col, last[j] = its last;
+    # the outer ring (global col 0, and col w-1 when w == wp) is NaN,
+    # and ragged tails are cropped so their seam values are dead.
     k = len(which)
-    vmem = pl.BlockSpec((th, tw), lambda i, j: (i, j),
-                        memory_space=pltpu.VMEM)
-    rb_spec = pl.BlockSpec((8, tw), lambda i, j: (i, j),
-                           memory_space=pltpu.VMEM)
-    outs = pl.pallas_call(
-        _make_kernel(which, th, tw),
-        grid=(gi, gj),
-        in_specs=[smem] * 6 + [vmem] + [rb_spec] * k,
-        out_specs=[vmem] * k,
-        out_shape=[jax.ShapeDtypeStruct((hp, wp), jnp.float32)] * k,
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel"),
-            vmem_limit_bytes=max(48 * 1024 * 1024,
-                                 5 * (1 + k) * th * tw * 4)),
-        interpret=interpret,
-    )(scal(csx), scal(csy), scal(jnp.sin(alt * (jnp.pi / 180.0))),
-      scal(jnp.cos(alt * (jnp.pi / 180.0))), scal(jnp.sin(phi)),
-      scal(jnp.cos(phi)), padded, *rowbands)
-    if k == 1 and not isinstance(outs, (list, tuple)):
-        outs = [outs]
-    outs = list(outs)
-
-    # ---- column seams: gj-1 narrow patches via contiguous slices + DUS.
-    # A lane-strided slice of the 1 GB raster costs ~1 ms/op (full-array
-    # pass) and a minor-axis scatter ~6.5 ms; contiguous 4-column slices
-    # and dynamic_update_slice column strips are both ~free.
+    nan_colv = jnp.full((hp, 1), jnp.nan, jnp.float32)
+    first = [[nan_colv for _ in range(gj)] for _ in range(k)]
+    last = [[nan_colv for _ in range(gj)] for _ in range(k)]
     for j in range(1, gj):
-        cc = j * tw  # bad cols: cc-1 (tile j-1 last), cc (tile j first)
+        cc = j * tw  # seam cols: cc-1 (tile j-1 last), cc (tile j first)
         tri = jax.lax.slice_in_dim(padded, cc - 2, cc + 2, axis=1)
         nb = (tri[:-2, 0:2], tri[:-2, 1:3], tri[:-2, 2:4],
               tri[1:-1, 0:2], tri[1:-1, 1:3], tri[1:-1, 2:4],
@@ -252,13 +255,41 @@ def surface_tiled(data, cellsize_x, cellsize_y, azimuth, angle_altitude,
             patch = jnp.pad(bands[kk], ((1, 1), (0, 0)),
                             constant_values=jnp.nan)
             patch = jnp.where(ring_r, jnp.nan, patch)
-            outs[kk] = jax.lax.dynamic_update_slice(outs[kk], patch,
-                                                    (0, cc - 1))
-    nan_col = jnp.full((hp, 1), jnp.nan, jnp.float32)
+            last[kk][j - 1] = patch[:, 0:1]
+            first[kk][j] = patch[:, 1:2]
+    colbands = []
     for kk in range(k):
-        outs[kk] = jax.lax.dynamic_update_slice(outs[kk], nan_col, (0, 0))
-        outs[kk] = jax.lax.dynamic_update_slice(outs[kk], nan_col,
-                                                (0, w - 1))
+        blocks = [jnp.pad(jnp.concatenate([first[kk][j], last[kk][j]],
+                                          axis=1), ((0, 0), (0, 126)))
+                  for j in range(gj)]
+        colbands.append(jnp.concatenate(blocks, axis=1))
+
+    scal = lambda v: jnp.full((1, 1), v, jnp.float32)  # noqa: E731
+    smem = pl.BlockSpec((1, 1), lambda i, j: (0, 0),
+                        memory_space=pltpu.SMEM)
+    vmem = pl.BlockSpec((th, tw), lambda i, j: (i, j),
+                        memory_space=pltpu.VMEM)
+    rb_spec = pl.BlockSpec((8, tw), lambda i, j: (i, j),
+                           memory_space=pltpu.VMEM)
+    cb_spec = pl.BlockSpec((th, 128), lambda i, j: (i, j),
+                           memory_space=pltpu.VMEM)
+    outs = pl.pallas_call(
+        _make_kernel(which, th, tw),
+        grid=(gi, gj),
+        in_specs=[smem] * 6 + [vmem] + [rb_spec] * k + [cb_spec] * k,
+        out_specs=[vmem] * k,
+        out_shape=[jax.ShapeDtypeStruct((hp, wp), jnp.float32)] * k,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel"),
+            vmem_limit_bytes=max(48 * 1024 * 1024,
+                                 5 * (1 + k) * th * tw * 4)),
+        interpret=interpret,
+    )(scal(csx), scal(csy), scal(jnp.sin(alt * (jnp.pi / 180.0))),
+      scal(jnp.cos(alt * (jnp.pi / 180.0))), scal(jnp.sin(phi)),
+      scal(jnp.cos(phi)), padded, *rowbands, *colbands)
+    if k == 1 and not isinstance(outs, (list, tuple)):
+        outs = [outs]
+    outs = list(outs)
     if (hp, wp) != (h, w):
         return tuple(o[:h, :w] for o in outs)
     return tuple(outs)
