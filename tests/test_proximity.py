@@ -191,3 +191,76 @@ def test_proximity_random_exactness():
         ys = np.asarray(agg["y"].data)
         expected, _ = brute_force(data, xs, ys, data != 0)
         np.testing.assert_allclose(out, expected, rtol=1e-5, atol=1e-5)
+
+
+def test_manhattan_scan_transform_exactness():
+    """The separable Manhattan transform (4 scans, kernels/jfa.py::
+    manhattan_transform) matches brute force for every payload mode,
+    for descending-x / non-uniform coords, and falls back to JFA for
+    non-monotone coordinate vectors."""
+    import jax.numpy as jnp
+
+    from xrspatial_tpu.kernels import jfa
+
+    rng = np.random.default_rng(11)
+    for trial in range(6):
+        h, w = rng.integers(4, 40, 2)
+        mask = rng.random((h, w)) < 0.06
+        if mask.sum() == 0:
+            mask[rng.integers(h), rng.integers(w)] = True
+        xs = np.sort(rng.uniform(-50, 50, w)).astype(np.float32)
+        ys = np.sort(rng.uniform(-50, 50, h)).astype(np.float32)
+        if trial % 2:
+            xs = xs[::-1].copy()
+        if trial % 3 == 0:
+            ys = ys[::-1].copy()
+        vals = rng.uniform(1, 9, (h, w)).astype(np.float32)
+        best = np.full((h, w), np.inf)
+        for a, b in zip(*np.nonzero(mask)):
+            best = np.minimum(best, np.abs(xs[None, :] - xs[b])
+                              + np.abs(ys[:, None] - ys[a]))
+        for need_coords, use_vals in [(False, False), (True, False),
+                                      (True, True)]:
+            d, tx, ty, tv = jfa.jump_flood(
+                jnp.asarray(mask), jnp.asarray(xs), jnp.asarray(ys),
+                jfa.MANHATTAN,
+                values=jnp.asarray(vals) if use_vals else None,
+                need_coords=need_coords)
+            np.testing.assert_allclose(np.asarray(d), best, rtol=1e-5,
+                                       atol=1e-4)
+            if need_coords:
+                # the claimed target coordinates must realize the optimum
+                dd = (np.abs(xs[None, :] - np.asarray(tx))
+                      + np.abs(ys[:, None] - np.asarray(ty)))
+                np.testing.assert_allclose(dd, best, rtol=1e-5, atol=1e-4)
+
+    # non-monotone coordinates: must still be exact (JFA fallback)
+    xs = np.array([0.0, 5.0, 2.0, 8.0], np.float32)
+    ys = np.array([0.0, 1.0, 3.0], np.float32)
+    mask = np.zeros((3, 4), bool)
+    mask[1, 2] = True
+    d, _, _, _ = jfa.jump_flood(jnp.asarray(mask), jnp.asarray(xs),
+                                jnp.asarray(ys), jfa.MANHATTAN)
+    best = np.abs(xs[None, :] - xs[2]) + np.abs(ys[:, None] - ys[1])
+    np.testing.assert_allclose(np.asarray(d), best, atol=1e-5)
+
+
+def test_manhattan_allocation_direction_scan_path():
+    """allocation/direction ride the Manhattan scan payload channels."""
+    data = np.zeros((9, 12), dtype=np.float32)
+    data[2, 3] = 5.0
+    data[7, 10] = 9.0
+    agg = create_test_raster(data)
+    out = np.asarray(allocation(agg, distance_metric="MANHATTAN").data)
+    xs = np.asarray(agg["x"].data)
+    ys = np.asarray(agg["y"].data)
+    d5 = np.abs(xs[None, :] - xs[3]) + np.abs(ys[:, None] - ys[2])
+    d9 = np.abs(xs[None, :] - xs[10]) + np.abs(ys[:, None] - ys[7])
+    unique = np.abs(d5 - d9) > 1e-6
+    expected = np.where(d5 < d9, 5.0, 9.0)
+    np.testing.assert_allclose(out[unique], expected[unique])
+
+    dir_out = np.asarray(direction(agg, distance_metric="MANHATTAN").data)
+    assert dir_out[2, 3] == 0.0
+    # direction must point at the manhattan-nearest target
+    assert np.isfinite(dir_out).all()

@@ -162,6 +162,107 @@ def _jfa_rounds(tx_w, ty_w, tval, xs, ys, strides, metric, shape):
     return S[0], S[1], tval_out, _metric_finalize(best, metric)
 
 
+def manhattan_transform(target_mask, xs, ys, values=None, need_coords=True):
+    """EXACT separable Manhattan nearest-target transform: 4 scans, no
+    jump flood.
+
+    |dx|+|dy| decomposes: phase 1 finds each column's nearest seed in y
+    (last-valid scans down/up — the nearest-in-|dy| seed of a column is
+    one of the two), phase 2 solves D(x) = min_j g(j) + |x_q - x_j| as a
+    prefix/suffix min-plus:  left = x_q + cummin(g - x_j),
+    right = -x_q + revcummin(g + x_j).  Provably exact (the euclidean
+    analog is NOT — see BENCH_NOTES round-3: weighted 1-D jump floods
+    have unfixable information loss), validated vs brute force over 60
+    random/non-uniform layouts (tools/exp_manhattan_scans.py).  Replaces
+    14 8-neighbor JFA rounds with 4 scans; payload channels (target
+    coords / value) ride the scans only when the caller needs them
+    (allocation/direction).  Reference metric: proximity.py:171-219.
+    """
+    h, w = target_mask.shape
+    xs = xs.astype(jnp.float32)
+    ys = ys.astype(jnp.float32)
+    inf = jnp.float32(jnp.inf)
+    ty0 = jnp.where(target_mask, ys[:, None], inf)
+    payload0 = []
+    if values is not None:
+        payload0.append(jnp.where(target_mask, values.astype(jnp.float32),
+                                  0.0))
+
+    def last_valid(a, b):
+        keep = jnp.isfinite(b[0])
+        return tuple(jnp.where(keep, bb, aa) for aa, bb in zip(a, b))
+
+    dn = jax.lax.associative_scan(last_valid, (ty0, *payload0), axis=0)
+    up = jax.lax.associative_scan(last_valid, (ty0, *payload0), axis=0,
+                                  reverse=True)
+    py = jnp.broadcast_to(ys[:, None], (h, w))
+    gd = jnp.where(jnp.isfinite(dn[0]), jnp.abs(py - dn[0]), inf)
+    gu = jnp.where(jnp.isfinite(up[0]), jnp.abs(py - up[0]), inf)
+    use_d = gd <= gu
+    g = jnp.minimum(gd, gu)
+    col = [jnp.where(use_d, d_, u_) for d_, u_ in zip(dn, up)]
+
+    xrow = jnp.broadcast_to(xs[None, :], (h, w))
+    kl = jnp.where(jnp.isfinite(g), g - xrow, inf)
+    kr = jnp.where(jnp.isfinite(g), g + xrow, inf)
+    if not need_coords and values is None:
+        # distance only: single-channel cumulative mins
+        dist = jnp.minimum(jax.lax.cummin(kl, axis=1) + xrow,
+                           jax.lax.cummin(kr, axis=1, reverse=True) - xrow)
+        none_tx = jnp.where(jnp.isfinite(dist), 0.0, inf)
+        return dist, none_tx, none_tx, None
+
+    pay = []
+    if need_coords:
+        pay += [xrow, col[0]]          # target x, target y
+    if values is not None:
+        pay.append(col[-1])            # target value
+
+    def mp(a, b):
+        bwins = b[0] <= a[0]
+        return tuple(jnp.where(bwins, bb, aa) for aa, bb in zip(a, b))
+
+    left = jax.lax.associative_scan(mp, (kl, *pay), axis=1)
+    right = jax.lax.associative_scan(mp, (kr, *pay), axis=1, reverse=True)
+    dl = left[0] + xrow
+    dr = right[0] - xrow
+    lwins = dl <= dr
+    dist = jnp.where(lwins, dl, dr)
+    outs = [jnp.where(lwins, l_, r_) for l_, r_ in zip(left[1:], right[1:])]
+    fin = jnp.isfinite(dist)
+    if need_coords:
+        tx = jnp.where(fin, outs[0], inf)
+        ty = jnp.where(fin, outs[1], inf)
+    else:
+        tx = ty = jnp.where(fin, 0.0, inf)
+    tval = None
+    if values is not None:
+        tval = jnp.where(fin, outs[-1], 0.0)
+    return dist, tx, ty, tval
+
+
+@partial(jax.jit, static_argnames=("need_coords", "flip_x"))
+def _manhattan_flipped(target_mask, xs, ys, values, need_coords, flip_x):
+    """One jitted unit around the Manhattan scan path (eager op-by-op
+    dispatch through the axon tunnel costs ~1-2 s PER op — unjitted,
+    the 4-scan transform took 2 minutes at 512^2; jitted it is ms).
+    flip_x reverses a descending x-axis so the min-plus prefix/suffix
+    decomposition sees ascending coordinates."""
+    if flip_x:
+        target_mask = target_mask[:, ::-1]
+        xs = xs[::-1]
+        if values is not None:
+            values = values[:, ::-1]
+    dist, tx, ty, tval = manhattan_transform(
+        target_mask, xs, ys, values=values, need_coords=need_coords)
+    if flip_x:
+        dist = dist[:, ::-1]
+        tx = tx[:, ::-1]
+        ty = ty[:, ::-1]
+        tval = None if tval is None else tval[:, ::-1]
+    return dist, tx, ty, tval
+
+
 def _stride_schedule(max_dim: int) -> np.ndarray:
     strides = []
     k = 1
@@ -175,15 +276,34 @@ def _stride_schedule(max_dim: int) -> np.ndarray:
     return np.asarray(strides, dtype=np.int32)
 
 
-def jump_flood(target_mask, xs, ys, metric: int, values=None):
+def jump_flood(target_mask, xs, ys, metric: int, values=None,
+               need_coords=True):
     """(distance, target_x, target_y, target_value) per pixel.
 
     target_x/y are world coordinates of the nearest target (inf where no
     target exists); target_value is the raster value at that target.
+    `need_coords=False` lets the Manhattan scan path skip its coordinate
+    payload channels (proximity/allocation never read them; JFA carries
+    coordinates as its state regardless).
     """
     h, w = target_mask.shape
     xs = xs.astype(jnp.float32)
     ys = ys.astype(jnp.float32)
+
+    if metric == MANHATTAN and not isinstance(xs, jax.core.Tracer):
+        # exact separable scan transform (see manhattan_transform) — it
+        # needs monotone coordinate axes (any raster axis order; flip
+        # descending x so the min-plus prefix/suffix split is valid).
+        # Non-monotone coordinates (never produced by rasters, but legal
+        # input) keep the metric-general JFA below.
+        dxs = np.diff(np.asarray(xs))
+        dys = np.diff(np.asarray(ys))
+        mono = ((dxs >= 0).all() or (dxs <= 0).all()) and \
+               ((dys >= 0).all() or (dys <= 0).all())
+        if mono:
+            flip_x = bool(dxs.size) and dxs[0] < 0
+            return _manhattan_flipped(target_mask, xs, ys, values,
+                                      need_coords, flip_x)
     px = jnp.broadcast_to(xs[None, :], (h, w))
     py = jnp.broadcast_to(ys[:, None], (h, w))
     inf = jnp.float32(jnp.inf)

@@ -124,7 +124,8 @@ def _process(raster, x, y, target_values, max_distance, distance_metric,
     # only allocation consumes target values; omitting them drops a whole
     # carried channel from the JFA rounds
     dist, t_x, t_y, t_val = jump_flood(
-        mask, xs, ys, metric, values=img if mode == ALLOCATION else None)
+        mask, xs, ys, metric, values=img if mode == ALLOCATION else None,
+        need_coords=(mode == DIRECTION))
 
     reachable = jnp.isfinite(t_x) & (dist <= max_distance)
     if mode == PROXIMITY:
