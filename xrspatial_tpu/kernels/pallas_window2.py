@@ -52,11 +52,15 @@ def tiled_radius_supported(ry: int, rx: int) -> bool:
     return 0 < max(ry, 1) <= 32 and 0 < max(rx, 1) <= 256
 
 
-def _make_kernel(offsets, stats, ry, rx, th, tw):
+def _make_kernel(offsets, stats, ry, rx, th, tw, seam_cols):
     n_stats = len(stats)
     ih, iw = th - 2 * ry, tw  # full-width rows; lane shifts via roll
 
-    def kernel(in_ref, rb_ref, out_ref):
+    def kernel(in_ref, rb_ref, *cb_out):
+        if seam_cols:
+            cb_ref, out_ref = cb_out
+        else:
+            out_ref, = cb_out
         x = in_ref[...]
         rows = {}
 
@@ -122,9 +126,18 @@ def _make_kernel(offsets, stats, ry, rx, th, tw):
                 val = jnp.sqrt(var)
             out_ref[k, ry:th - ry, :] = val
             # seam rows from the precomputed band (cols under the column
-            # patches get overwritten post-kernel with identical values)
+            # patches get overwritten with identical values)
             out_ref[k, 0:ry, :] = rb_ref[k, 0:ry, :]
             out_ref[k, th - ry:th, :] = rb_ref[k, ry:2 * ry, :]
+            if seam_cols:
+                # seam columns in-kernel: lanes 0..rx-1 of the column
+                # band are this tile's first rx output cols, lanes
+                # rx..2rx-1 its last rx — written AFTER the row bands so
+                # column values win at corners, matching the DUS order
+                # they replace (~0.7 ms/product of post-kernel DUS on
+                # the 1 GB outputs at 16k^2, tools/exp_seam_cost.py)
+                out_ref[k, :, 0:rx] = cb_ref[k, :, 0:rx]
+                out_ref[k, :, tw - rx:tw] = cb_ref[k, :, rx:2 * rx]
 
     return kernel
 
@@ -184,25 +197,7 @@ def focal_stats_tiled(data, offsets, stats, th=TILE_H, tw=TILE_W,
             ((0, 0), (0, rbh - 2 * ry), (0, 0))).reshape(gi * rbh, wp))
     rowband = jnp.stack(rowbands)  # (S, gi*rbh, wp)
 
-    # ---- main tiled kernel ----------------------------------------------
-    out = pl.pallas_call(
-        _make_kernel(offsets, stats, ry, rx, th, tw),
-        grid=(gi, gj),
-        in_specs=[pl.BlockSpec((th, tw), lambda i, j: (i, j),
-                               memory_space=pltpu.VMEM),
-                  pl.BlockSpec((n_stats, rbh, tw), lambda i, j: (0, i, j),
-                               memory_space=pltpu.VMEM)],
-        out_specs=pl.BlockSpec((n_stats, th, tw), lambda i, j: (0, i, j),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((n_stats, hp, wp), jnp.float32),
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel"),
-            vmem_limit_bytes=max(64 * 1024 * 1024,
-                                 6 * (1 + n_stats) * th * tw * 4)),
-        interpret=interpret,
-    )(padded, rowband)
-
-    # ---- seam-column patches: one batched strip pass + per-seam DUS -----
+    # ---- seam columns: one batched strip pass -------------------------
     # strips of 4*rx input cols whose middle 2*rx cols are the targets
     # (cols j*tw-rx .. j*tw+rx-1, clipped at the raster edges)
     strips = []
@@ -219,17 +214,69 @@ def focal_stats_tiled(data, offsets, stats, th=TILE_H, tw=TILE_W,
                               constant_values=jnp.nan))
     strip_in = jnp.concatenate(strips, axis=1)  # (hp, (gj+1)*4rx)
     strip_stats = window_stats(strip_in, offsets, stats)
-    for idx, c in enumerate(bounds):
-        t0 = max(c - rx, 0)
-        t1 = min(c + rx, w)
-        if t1 <= t0:
-            continue
-        base = idx * 4 * rx + 2 * rx - c  # strip col of raster col 0
-        patch = jnp.stack([
-            jax.lax.slice_in_dim(strip_stats[s], base + t0, base + t1,
-                                 axis=1)
-            for s in stats])
-        out = jax.lax.dynamic_update_slice(out, patch, (0, 0, t0))
+
+    # rx <= 64: the seam columns ride INTO the kernel as per-tile
+    # (S, hp, 128) bands (lanes 0..rx-1 = tile's first rx output cols
+    # from boundary j's right half, rx..2rx-1 = its last rx from
+    # boundary j+1's left half), replacing the post-kernel DUS chain on
+    # the (S, hp, wp) output (~0.7 ms/product at 16k^2).
+    seam_cols = 2 * rx <= 128
+    colband = None
+    if seam_cols:
+        per_stat = []
+        for s in stats:
+            blocks = []
+            for j in range(gj):
+                right = jax.lax.slice_in_dim(
+                    strip_stats[s], j * 4 * rx + 2 * rx,
+                    j * 4 * rx + 3 * rx, axis=1)
+                left = jax.lax.slice_in_dim(
+                    strip_stats[s], (j + 1) * 4 * rx + rx,
+                    (j + 1) * 4 * rx + 2 * rx, axis=1)
+                blocks.append(jnp.pad(
+                    jnp.concatenate([right, left], axis=1),
+                    ((0, 0), (0, 128 - 2 * rx))))
+            per_stat.append(jnp.concatenate(blocks, axis=1))
+        colband = jnp.stack(per_stat)  # (S, hp, gj*128)
+
+    # ---- main tiled kernel ----------------------------------------------
+    in_specs = [pl.BlockSpec((th, tw), lambda i, j: (i, j),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((n_stats, rbh, tw), lambda i, j: (0, i, j),
+                             memory_space=pltpu.VMEM)]
+    operands = [padded, rowband]
+    if seam_cols:
+        in_specs.append(pl.BlockSpec((n_stats, th, 128),
+                                     lambda i, j: (0, i, j),
+                                     memory_space=pltpu.VMEM))
+        operands.append(colband)
+    out = pl.pallas_call(
+        _make_kernel(offsets, stats, ry, rx, th, tw, seam_cols),
+        grid=(gi, gj),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((n_stats, th, tw), lambda i, j: (0, i, j),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n_stats, hp, wp), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel"),
+            vmem_limit_bytes=max(64 * 1024 * 1024,
+                                 6 * (1 + n_stats) * th * tw * 4)),
+        interpret=interpret,
+    )(*operands)
+
+    if not seam_cols:
+        # huge-radius fallback: patch the seam columns post-kernel
+        for idx, c in enumerate(bounds):
+            t0 = max(c - rx, 0)
+            t1 = min(c + rx, w)
+            if t1 <= t0:
+                continue
+            base = idx * 4 * rx + 2 * rx - c  # strip col of raster col 0
+            patch = jnp.stack([
+                jax.lax.slice_in_dim(strip_stats[s], base + t0, base + t1,
+                                     axis=1)
+                for s in stats])
+            out = jax.lax.dynamic_update_slice(out, patch, (0, 0, t0))
 
     if (hp, wp) != (h, w):
         return out[:, :h, :w]
