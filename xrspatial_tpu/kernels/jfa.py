@@ -276,34 +276,47 @@ def _stride_schedule(max_dim: int) -> np.ndarray:
     return np.asarray(strides, dtype=np.int32)
 
 
+def manhattan_scan_plan(xs_np, ys_np):
+    """Host-side dispatch decision for the exact Manhattan scan
+    transform: it needs monotone coordinate axes (any raster axis
+    order).  Returns flip_x (True when the descending x-axis must be
+    reversed so the min-plus prefix/suffix split sees ascending
+    coordinates) or None when a coordinate vector is non-monotone
+    (never produced by rasters, but legal input) — the caller keeps the
+    metric-general JFA then."""
+    dxs = np.diff(np.asarray(xs_np))
+    dys = np.diff(np.asarray(ys_np))
+    mono = ((dxs >= 0).all() or (dxs <= 0).all()) and \
+           ((dys >= 0).all() or (dys <= 0).all())
+    if not mono:
+        return None
+    return bool(dxs.size) and bool(dxs[0] < 0)
+
+
 def jump_flood(target_mask, xs, ys, metric: int, values=None,
-               need_coords=True):
+               need_coords=True, manhattan_plan="auto"):
     """(distance, target_x, target_y, target_value) per pixel.
 
     target_x/y are world coordinates of the nearest target (inf where no
     target exists); target_value is the raster value at that target.
     `need_coords=False` lets the Manhattan scan path skip its coordinate
     payload channels (proximity/allocation never read them; JFA carries
-    coordinates as its state regardless).
+    coordinates as its state regardless).  `manhattan_plan` is the
+    manhattan_scan_plan result when the caller runs under jit (traced
+    coordinates cannot be inspected); "auto" decides here.
     """
     h, w = target_mask.shape
     xs = xs.astype(jnp.float32)
     ys = ys.astype(jnp.float32)
 
-    if metric == MANHATTAN and not isinstance(xs, jax.core.Tracer):
-        # exact separable scan transform (see manhattan_transform) — it
-        # needs monotone coordinate axes (any raster axis order; flip
-        # descending x so the min-plus prefix/suffix split is valid).
-        # Non-monotone coordinates (never produced by rasters, but legal
-        # input) keep the metric-general JFA below.
-        dxs = np.diff(np.asarray(xs))
-        dys = np.diff(np.asarray(ys))
-        mono = ((dxs >= 0).all() or (dxs <= 0).all()) and \
-               ((dys >= 0).all() or (dys <= 0).all())
-        if mono:
-            flip_x = bool(dxs.size) and dxs[0] < 0
+    if metric == MANHATTAN:
+        plan = manhattan_plan
+        if plan == "auto":
+            plan = (manhattan_scan_plan(xs, ys)
+                    if not isinstance(xs, jax.core.Tracer) else None)
+        if plan is not None:
             return _manhattan_flipped(target_mask, xs, ys, values,
-                                      need_coords, flip_x)
+                                      need_coords, plan)
     px = jnp.broadcast_to(xs[None, :], (h, w))
     py = jnp.broadcast_to(ys[:, None], (h, w))
     inf = jnp.float32(jnp.inf)

@@ -5,7 +5,9 @@ TPU-native counterpart of reference ``xrspatial/proximity.py``: the GDAL
 jump-flood transform (kernels/jfa.py) that also carries nearest-target
 coordinates — allocation (nearest target's raster value) and direction
 (compass bearing to nearest target, proximity.py:238-258) fall out of the
-same state.  ``max_distance`` masks the result; there is no single-chunk
+same state.  MANHATTAN instead uses the exact separable scan transform
+(kernels/jfa.py::manhattan_transform — 4 cumulative scans, no flood).
+``max_distance`` masks the result; there is no single-chunk
 fallback cliff (reference proximity.py:605-612).
 
 Note on ties: when several targets are exactly equidistant the reference's
@@ -16,11 +18,15 @@ exactly-equidistant pixels.  Distances agree everywhere.
 
 from __future__ import annotations
 
+from functools import partial
+
+import jax
 import jax.numpy as jnp
 import numpy as np
 
 from .dataset_support import supports_dataset
-from .kernels.jfa import EUCLIDEAN, GREAT_CIRCLE, MANHATTAN, jump_flood
+from .kernels.jfa import (EUCLIDEAN, GREAT_CIRCLE, MANHATTAN, jump_flood,
+                          manhattan_scan_plan)
 from .utils import wrap_like
 from .xrlib import DataArray
 
@@ -74,9 +80,28 @@ def _target_mask(img, target_values):
     if len(target_values) == 0:
         return (img != 0) & jnp.isfinite(img)
     mask = jnp.zeros(img.shape, bool)
-    for v in np.asarray(target_values).ravel():
+    for v in target_values:
         mask = mask | (img == v)
     return mask
+
+
+@partial(jax.jit, static_argnames=("metric", "mode", "targets", "mplan"))
+def _process_compute(img, xs, ys, max_distance, metric, mode, targets,
+                     mplan):
+    """The whole proximity/allocation compute (and direction's f32
+    part) as ONE jitted dispatch: eager op-by-op execution through the
+    axon tunnel costs ~1-2 ms PER op in launch latency — at 4096^2 the
+    ~15 eager ops around the JFA rounds dominated the end-to-end time."""
+    mask = _target_mask(img, targets)
+    dist, t_x, t_y, t_val = jump_flood(
+        mask, xs, ys, metric, values=img if mode == ALLOCATION else None,
+        need_coords=(mode == DIRECTION), manhattan_plan=mplan)
+    reachable = jnp.isfinite(t_x) & (dist <= max_distance)
+    if mode == PROXIMITY:
+        return jnp.where(reachable, dist, jnp.nan)
+    if mode == ALLOCATION:
+        return jnp.where(reachable, t_val, jnp.nan)
+    return reachable, t_x, t_y
 
 
 def _compass_direction(px, tx, py, ty_coord):
@@ -120,36 +145,32 @@ def _process(raster, x, y, target_values, max_distance, distance_metric,
     ys = jnp.asarray(ys_np)
     img = jnp.asarray(raster.data)
 
-    mask = _target_mask(img, target_values)
-    # only allocation consumes target values; omitting them drops a whole
-    # carried channel from the JFA rounds
-    dist, t_x, t_y, t_val = jump_flood(
-        mask, xs, ys, metric, values=img if mode == ALLOCATION else None,
-        need_coords=(mode == DIRECTION))
+    targets = tuple(float(v) for v in np.asarray(target_values).ravel())
+    mplan = manhattan_scan_plan(xs_np, ys_np) if metric == MANHATTAN \
+        else None
+    res = _process_compute(img, xs, ys, jnp.float32(max_distance), metric,
+                           mode, targets, mplan)
+    if mode != DIRECTION:
+        return res
 
-    reachable = jnp.isfinite(t_x) & (dist <= max_distance)
-    if mode == PROXIMITY:
-        out = jnp.where(reachable, dist, jnp.nan)
-    elif mode == ALLOCATION:
-        out = jnp.where(reachable, t_val, jnp.nan)
-    else:  # DIRECTION
-        # float64 epilogue: the reference computes bearings in f64 with an
-        # imprecise degree constant (57.29578); the branch at exact-north
-        # (atan2 -> 90 deg) only matches in f64.  Carried f32 target
-        # coordinates are exact coordinate values, so comparisons (==)
-        # against the pixel's own coordinates still work.
-        from .utils import x64
-        with x64():
-            h, w = img.shape
-            xs64 = jnp.asarray(np.asarray(raster[x].data, dtype=np.float64))
-            ys64 = jnp.asarray(np.asarray(raster[y].data, dtype=np.float64))
-            px = jnp.broadcast_to(xs64[None, :], (h, w))
-            py = jnp.broadcast_to(ys64[:, None], (h, w))
-            out = jnp.where(reachable,
-                            _compass_direction(px, t_x.astype(jnp.float64),
-                                               py, t_y.astype(jnp.float64)),
-                            jnp.nan)
-    return out
+    # DIRECTION float64 epilogue: the reference computes bearings in f64
+    # with an imprecise degree constant (57.29578); the branch at
+    # exact-north (atan2 -> 90 deg) only matches in f64.  Carried f32
+    # target coordinates are exact coordinate values, so comparisons (==)
+    # against the pixel's own coordinates still work.  x64() scopes the
+    # CALL boundary, so this part stays outside the jitted compute.
+    reachable, t_x, t_y = res
+    from .utils import x64
+    with x64():
+        h, w = img.shape
+        xs64 = jnp.asarray(np.asarray(raster[x].data, dtype=np.float64))
+        ys64 = jnp.asarray(np.asarray(raster[y].data, dtype=np.float64))
+        px = jnp.broadcast_to(xs64[None, :], (h, w))
+        py = jnp.broadcast_to(ys64[:, None], (h, w))
+        return jnp.where(reachable,
+                         _compass_direction(px, t_x.astype(jnp.float64),
+                                            py, t_y.astype(jnp.float64)),
+                         jnp.nan)
 
 
 @supports_dataset
