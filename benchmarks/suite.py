@@ -118,6 +118,20 @@ class Proximity(Benchmarking):
         from xrspatial_tpu.proximity import proximity
         return proximity(self.targets)
 
+    def time_proximity_great_circle(self, nx):
+        # the reference parametrizes distance_metric over all three
+        # metrics (benchmarks/proximity.py:9-14); the harness here
+        # collapses params onto per-metric methods
+        from xrspatial_tpu.proximity import proximity
+        t = self.targets.copy()
+        t["x"] = np.linspace(-170.0, 170.0, t.data.shape[1])
+        t["y"] = np.linspace(80.0, -80.0, t.data.shape[0])
+        return proximity(t, distance_metric="GREAT_CIRCLE")
+
+    def time_proximity_manhattan(self, nx):
+        from xrspatial_tpu.proximity import proximity
+        return proximity(self.targets, distance_metric="MANHATTAN")
+
     def time_allocation(self, nx):
         from xrspatial_tpu.proximity import allocation
         return allocation(self.targets)
