@@ -281,11 +281,21 @@ def manhattan_scan_plan(xs_np, ys_np):
     transform: it needs monotone coordinate axes (any raster axis
     order).  Returns flip_x (True when the descending x-axis must be
     reversed so the min-plus prefix/suffix split sees ascending
-    coordinates) or None when a coordinate vector is non-monotone
-    (never produced by rasters, but legal input) — the caller keeps the
-    metric-general JFA then."""
-    dxs = np.diff(np.asarray(xs_np))
-    dys = np.diff(np.asarray(ys_np))
+    coordinates) or None when the path must not be used — a
+    non-monotone coordinate vector (never produced by rasters, but
+    legal input), or a TPU raster beyond 1024^2: XLA:TPU code for the
+    associative scans grows with pixel AREA (measured executables
+    3.9 MB at 512^2 -> 14 MB at 1024^2; a 2048^2 compile ran >28 min
+    through the remote-compile service) so larger rasters keep the
+    metric-general JFA, which is equally exact and compiles in
+    seconds."""
+    xs_np = np.asarray(xs_np)
+    ys_np = np.asarray(ys_np)
+    if jax.default_backend() == "tpu" and \
+            max(xs_np.size, ys_np.size) > 1024:
+        return None
+    dxs = np.diff(xs_np)
+    dys = np.diff(ys_np)
     mono = ((dxs >= 0).all() or (dxs <= 0).all()) and \
            ((dys >= 0).all() or (dys <= 0).all())
     if not mono:
