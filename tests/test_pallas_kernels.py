@@ -128,3 +128,40 @@ def test_focal_stats_tiled_interpret_radius2():
         np.testing.assert_allclose(np.asarray(got[i]), np.asarray(ref[s]),
                                    rtol=1e-5, atol=1e-5, err_msg=s,
                                    equal_nan=True)
+
+
+def test_pipeline_tiled_interpret_parity():
+    """Fused headline pipeline (surface pair + focal stack in ONE
+    pallas_call) vs the single-op reference paths on CPU (interpret
+    mode): ragged shape, NaNs crossing tile seams."""
+    import jax.numpy as jnp
+    from xrspatial_tpu.kernels.pallas_pipeline import pipeline_tiled
+    from xrspatial_tpu.kernels.surface import hillshade_jit, slope_jit
+    from xrspatial_tpu.kernels.window import window_stats
+    f32 = jnp.float32
+    rng = np.random.default_rng(11)
+    data = rng.random((70, 300)).astype(np.float32) * 100
+    data[20:23, 120:140] = np.nan
+    data[31:33, 40] = np.nan  # on the th=32 seam
+    x = jnp.asarray(data)
+    k = circle_kernel(1, 1, 1.5)
+    offsets = kernel_offsets(k)
+    stats = ("mean", "max", "min", "std")
+    sl, hs, focal = pipeline_tiled(
+        x, f32(2.0), f32(3.0), f32(225.0), f32(25.0), offsets, stats,
+        which=("slope", "hillshade"), th=32, tw=128, interpret=True)
+    refs = {"slope": slope_jit(x, f32(2.0), f32(3.0)),
+            "hillshade": hillshade_jit(x, f32(225.0), f32(25.0))}
+    for name, got in zip(refs, (sl, hs)):
+        ref = np.asarray(refs[name])
+        got = np.asarray(got)
+        assert np.array_equal(np.isnan(got), np.isnan(ref)), name
+        np.testing.assert_allclose(got, ref, rtol=1e-4, atol=5e-5,
+                                   err_msg=name, equal_nan=True)
+    wref = window_stats(x, offsets, stats)
+    for i, s in enumerate(stats):
+        r = np.asarray(wref[s])
+        g = np.asarray(focal[i])
+        assert np.array_equal(np.isnan(g), np.isnan(r)), s
+        np.testing.assert_allclose(g, r, rtol=1e-5, atol=1e-5,
+                                   err_msg=s, equal_nan=True)

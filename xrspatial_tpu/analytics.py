@@ -18,6 +18,17 @@ from .xrlib import DataArray, Dataset
 __all__ = ["summarize_terrain", "terrain_pipeline"]
 
 
+def _use_fused_pipeline(offsets) -> bool:
+    """Gate for the single-pass headline kernel (pallas_pipeline.py):
+    the focal window must fit its in-kernel seam machinery.  Set
+    XRSPATIAL_NO_FUSED_PIPELINE=1 to force the 2-way split (A/B knob)."""
+    import os
+    if os.environ.get("XRSPATIAL_NO_FUSED_PIPELINE") == "1":
+        return False
+    from .kernels.pallas_pipeline import pipeline_supported
+    return pipeline_supported(offsets)
+
+
 def summarize_terrain(terrain: DataArray) -> Dataset:
     """Calculate slope, aspect, and curvature of a terrain in one fused pass.
 
@@ -84,15 +95,46 @@ def terrain_pipeline(agg: DataArray,
     data = to_jax(agg)
 
     if get_raster_mesh(data) is None:
-        # one fused Pallas/XLA pass for ALL surface products (on TPU at
+        from .kernels.surface import use_pallas_surface
+        from .kernels.window import kernel_offsets
+
+        offsets = kernel_offsets(kernel)
+        if use_pallas_surface(data, tuple(surface)) and _use_fused_pipeline(
+                offsets):
+            # ONE Pallas tile stream for ALL outputs (surface products
+            # as separate refs + the focal stack as one stacked ref):
+            # the DEM is read from HBM once for the whole headline
+            # workload (kernels/pallas_pipeline.py).  Supersedes the
+            # round-2 2-way split after the stacked-focal-ref layout
+            # closed the multi-output bandwidth gap the round-2 A/B
+            # measured (tools/exp_fused_pipeline2.py: separate-ref
+            # 6-output mega-kernel ~300 GB/s lost to the split; the
+            # stacked-ref fusion wins — see BENCH_NOTES round 3).
+            from .kernels.pallas_pipeline import pipeline_tiled
+            import jax.numpy as jnp
+            outs = pipeline_tiled(
+                data, jnp.float32(cellsize_x), jnp.float32(cellsize_y),
+                jnp.float32(azimuth), jnp.float32(angle_altitude),
+                offsets, tuple(stats_funcs), tuple(surface))
+            surf_outs = {p: outs[i] for i, p in enumerate(surface)}
+            name = agg.name or "terrain"
+            ds = agg.to_dataset(name=name)
+            for p in surface:
+                ds[f'{name}-{p}'] = wrap_like(agg, surf_outs[p],
+                                              f'{name}-{p}')
+            stacked = outs[len(surface)]
+            fs = DataArray(stacked, dims=("stats",) + tuple(agg.dims),
+                           name="focal_stats", attrs=dict(agg.attrs))
+            for cname, cval in agg.coords.items():
+                fs.coords[cname] = cval
+            fs.coords["stats"] = DataArray(
+                np.asarray(list(stats_funcs)), dims=("stats",),
+                name="stats")
+            ds["focal_stats"] = fs
+            return ds
+        # fused Pallas/XLA pass for the surface products only (on TPU at
         # scale surface_kernels lowers to the multi-output surface_tiled
-        # kernel — one tile stream, one HBM read of the DEM).  A 16k^2
-        # A/B (tools/exp_fused_pipeline2.py, BENCH_NOTES round 3) found
-        # this 2-way split ~9% faster than a single 6-output mega-kernel
-        # fusing the focal statistics in too: per-kernel effective
-        # bandwidth drops with output count on v5e (1 out 433 GB/s,
-        # 2 out 347, 6 out ~300), so sharing the surface pass and
-        # keeping focal_stats' own kernel wins.
+        # kernel), focal_stats as its own pass
         surf_outs = surface_kernels(data, tuple(surface), cellsize_x,
                                     cellsize_y, azimuth, angle_altitude)
     else:

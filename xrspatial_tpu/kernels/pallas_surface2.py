@@ -70,13 +70,89 @@ def _atan_of_sqrt(s):
     return jnp.where(big, jnp.float32(jnp.pi / 2.0) - r, r)
 
 
-def _make_kernel(which, th, tw):
-    """In-session 2x2 A/B at 16k^2 (tools/exp_slope_ab2.py): for the
+def emit_surface(which, th, tw, scal, x, rb, cb, out_refs):
+    """Write the surface products of one (th, tw) tile into out_refs.
+
+    ``scal`` is the 6-tuple of SMEM scalar refs (csx, csy, sin_a,
+    cos_a, sin_p, cos_p); ``x`` the tile value already read from VMEM;
+    ``rb``/``cb`` the per-product seam row/column band refs.  Factored
+    out of the kernel closure so the fused headline pipeline
+    (pallas_pipeline.py) can share one tile read between the surface
+    products and the focal statistics.
+
+    In-session 2x2 A/B at 16k^2 (tools/exp_slope_ab2.py): for the
     3x3 SURFACE stencil, sliced windows beat pltpu.roll lane rotations
     (slope 4.96 ms sliced vs 7.45 rolled) — the opposite of the focal
     kernel, whose 27 window reads amortize rotation better than
     misaligned slices (pallas_window2).  The divide-free
     _atan_of_sqrt is the big slope win (6.51 -> 4.96 ms)."""
+    csx_ref, csy_ref, sin_a_ref, cos_a_ref, sin_p_ref, cos_p_ref = scal
+    need_cross = any(s in which for s in ("curvature", "hillshade"))
+    if need_cross:
+        b, hh = x[:-2, 1:-1], x[2:, 1:-1]
+        d, f = x[1:-1, :-2], x[1:-1, 2:]
+    if "curvature" in which:
+        e = x[1:-1, 1:-1]
+
+    need_horn = any(s in which for s in ("slope", "aspect"))
+    if need_horn:
+        # NOT the separable (smooth-then-diff) form: it is ~3%
+        # faster but its FP re-association drifts 3.3e-3 deg from
+        # the XLA twin (tools/exp_separable_horn.py + on-chip
+        # check), past the 5e-4 parity gate; the 9-window form
+        # matches to 1.5e-5 (the atan polynomial)
+        a, c = x[:-2, :-2], x[:-2, 2:]
+        g, ii = x[2:, :-2], x[2:, 2:]
+        if not need_cross:
+            b, hh = x[:-2, 1:-1], x[2:, 1:-1]
+            d, f = x[1:-1, :-2], x[1:-1, 2:]
+        dzdx8 = (c + 2.0 * f + ii) - (a + 2.0 * d + g)
+        dzdy8 = (g + 2.0 * hh + ii) - (a + 2.0 * b + c)
+
+    for kk, stat in enumerate(which):
+        out = out_refs[kk]
+        if stat == "slope":
+            gx = dzdx8 * (0.125 / csx_ref[0, 0])
+            gy = dzdy8 * (0.125 / csy_ref[0, 0])
+            out[1:th - 1, 1:tw - 1] = _atan_of_sqrt(
+                gx * gx + gy * gy) * DEG
+        elif stat == "aspect":
+            gx = dzdx8 * 0.125
+            gy = dzdy8 * 0.125
+            angle = _atan2(gy, -gx) * (180.0 / jnp.pi)
+            compass = jnp.where(
+                angle < 0.0, 90.0 - angle,
+                jnp.where(angle > 90.0, 450.0 - angle, 90.0 - angle))
+            flat = (gx == 0.0) & (gy == 0.0)
+            out[1:th - 1, 1:tw - 1] = jnp.where(flat, -1.0, compass)
+        elif stat == "curvature":
+            cs = (csx_ref[0, 0] + csy_ref[0, 0]) * 0.5
+            dd = (hh + b) * 0.5 - e
+            ee = (f + d) * 0.5 - e
+            out[1:th - 1, 1:tw - 1] = -2.0 * (dd + ee) * 100.0 / (cs * cs)
+        elif stat == "hillshade":
+            gxr = (hh - b) * 0.5
+            gyc = (f - d) * 0.5
+            shaded = ((sin_a_ref[0, 0]
+                       + cos_a_ref[0, 0] * (cos_p_ref[0, 0] * gyc
+                                            - sin_p_ref[0, 0] * gxr))
+                      * jax.lax.rsqrt(1.0 + gxr * gxr + gyc * gyc))
+            out[1:th - 1, 1:tw - 1] = (shaded + 1.0) / 2.0
+        # seam rows (incl. the top/bottom NaN ring rows),
+        # precomputed outside by the strided-slice band pass
+        out[0:1, :] = rb[kk][0:1, :]
+        out[th - 1:th, :] = rb[kk][1:2, :]
+        # seam columns (incl. the left/right NaN ring cols): lanes
+        # 0/1 of the column band carry this tile's first/last output
+        # column — writing them here replaces a post-kernel DUS
+        # chain that measured ~0.7 ms/product at 16k^2
+        # (tools/exp_seam_cost.py).  Column values win at corners,
+        # matching the old DUS order (both compute the same stencil)
+        out[:, 0:1] = cb[kk][:, 0:1]
+        out[:, tw - 1:tw] = cb[kk][:, 1:2]
+
+
+def _make_kernel(which, th, tw):
     k = len(which)
 
     def kernel(csx_ref, csy_ref, sin_a_ref, cos_a_ref, sin_p_ref, cos_p_ref,
@@ -84,70 +160,9 @@ def _make_kernel(which, th, tw):
         rb = band_and_out_refs[:k]
         cb = band_and_out_refs[k:2 * k]
         out_refs = band_and_out_refs[2 * k:]
-        x = in_ref[...]
-        need_cross = any(s in which for s in ("curvature", "hillshade"))
-        if need_cross:
-            b, hh = x[:-2, 1:-1], x[2:, 1:-1]
-            d, f = x[1:-1, :-2], x[1:-1, 2:]
-        if "curvature" in which:
-            e = x[1:-1, 1:-1]
-
-        need_horn = any(s in which for s in ("slope", "aspect"))
-        if need_horn:
-            # NOT the separable (smooth-then-diff) form: it is ~3%
-            # faster but its FP re-association drifts 3.3e-3 deg from
-            # the XLA twin (tools/exp_separable_horn.py + on-chip
-            # check), past the 5e-4 parity gate; the 9-window form
-            # matches to 1.5e-5 (the atan polynomial)
-            a, c = x[:-2, :-2], x[:-2, 2:]
-            g, ii = x[2:, :-2], x[2:, 2:]
-            if not need_cross:
-                b, hh = x[:-2, 1:-1], x[2:, 1:-1]
-                d, f = x[1:-1, :-2], x[1:-1, 2:]
-            dzdx8 = (c + 2.0 * f + ii) - (a + 2.0 * d + g)
-            dzdy8 = (g + 2.0 * hh + ii) - (a + 2.0 * b + c)
-
-        for kk, stat in enumerate(which):
-            out = out_refs[kk]
-            if stat == "slope":
-                gx = dzdx8 * (0.125 / csx_ref[0, 0])
-                gy = dzdy8 * (0.125 / csy_ref[0, 0])
-                out[1:th - 1, 1:tw - 1] = _atan_of_sqrt(
-                    gx * gx + gy * gy) * DEG
-            elif stat == "aspect":
-                gx = dzdx8 * 0.125
-                gy = dzdy8 * 0.125
-                angle = _atan2(gy, -gx) * (180.0 / jnp.pi)
-                compass = jnp.where(
-                    angle < 0.0, 90.0 - angle,
-                    jnp.where(angle > 90.0, 450.0 - angle, 90.0 - angle))
-                flat = (gx == 0.0) & (gy == 0.0)
-                out[1:th - 1, 1:tw - 1] = jnp.where(flat, -1.0, compass)
-            elif stat == "curvature":
-                cs = (csx_ref[0, 0] + csy_ref[0, 0]) * 0.5
-                dd = (hh + b) * 0.5 - e
-                ee = (f + d) * 0.5 - e
-                out[1:th - 1, 1:tw - 1] = -2.0 * (dd + ee) * 100.0 / (cs * cs)
-            elif stat == "hillshade":
-                gxr = (hh - b) * 0.5
-                gyc = (f - d) * 0.5
-                shaded = ((sin_a_ref[0, 0]
-                           + cos_a_ref[0, 0] * (cos_p_ref[0, 0] * gyc
-                                                - sin_p_ref[0, 0] * gxr))
-                          * jax.lax.rsqrt(1.0 + gxr * gxr + gyc * gyc))
-                out[1:th - 1, 1:tw - 1] = (shaded + 1.0) / 2.0
-            # seam rows (incl. the top/bottom NaN ring rows),
-            # precomputed outside by the strided-slice band pass
-            out[0:1, :] = rb[kk][0:1, :]
-            out[th - 1:th, :] = rb[kk][1:2, :]
-            # seam columns (incl. the left/right NaN ring cols): lanes
-            # 0/1 of the column band carry this tile's first/last output
-            # column — writing them here replaces a post-kernel DUS
-            # chain that measured ~0.7 ms/product at 16k^2
-            # (tools/exp_seam_cost.py).  Column values win at corners,
-            # matching the old DUS order (both compute the same stencil)
-            out[:, 0:1] = cb[kk][:, 0:1]
-            out[:, tw - 1:tw] = cb[kk][:, 1:2]
+        emit_surface(which, th, tw,
+                     (csx_ref, csy_ref, sin_a_ref, cos_a_ref, sin_p_ref,
+                      cos_p_ref), in_ref[...], rb, cb, out_refs)
 
     return kernel
 
@@ -195,7 +210,52 @@ def surface_tiled(data, cellsize_x, cellsize_y, azimuth, angle_altitude,
     azrad = (360.0 - az) * (jnp.pi / 180.0)
     phi = azrad - jnp.pi / 2.0
 
-    # ---- seam bands (exact, XLA, tiny) ----------------------------------
+    rowbands, colbands = surface_seam_bands(
+        padded, h, w, hp, wp, th, tw, gi, gj, which, csx, csy, az, alt)
+
+    scal = lambda v: jnp.full((1, 1), v, jnp.float32)  # noqa: E731
+    smem = pl.BlockSpec((1, 1), lambda i, j: (0, 0),
+                        memory_space=pltpu.SMEM)
+    vmem = pl.BlockSpec((th, tw), lambda i, j: (i, j),
+                        memory_space=pltpu.VMEM)
+    rb_spec = pl.BlockSpec((8, tw), lambda i, j: (i, j),
+                           memory_space=pltpu.VMEM)
+    cb_spec = pl.BlockSpec((th, 128), lambda i, j: (i, j),
+                           memory_space=pltpu.VMEM)
+    k = len(which)
+    outs = pl.pallas_call(
+        _make_kernel(which, th, tw),
+        grid=(gi, gj),
+        in_specs=[smem] * 6 + [vmem] + [rb_spec] * k + [cb_spec] * k,
+        out_specs=[vmem] * k,
+        out_shape=[jax.ShapeDtypeStruct((hp, wp), jnp.float32)] * k,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel"),
+            vmem_limit_bytes=max(48 * 1024 * 1024,
+                                 5 * (1 + k) * th * tw * 4)),
+        interpret=interpret,
+    )(scal(csx), scal(csy), scal(jnp.sin(alt * (jnp.pi / 180.0))),
+      scal(jnp.cos(alt * (jnp.pi / 180.0))), scal(jnp.sin(phi)),
+      scal(jnp.cos(phi)), padded, *rowbands, *colbands)
+    if k == 1 and not isinstance(outs, (list, tuple)):
+        outs = [outs]
+    outs = list(outs)
+    if (hp, wp) != (h, w):
+        return tuple(o[:h, :w] for o in outs)
+    return tuple(outs)
+
+
+def surface_seam_bands(padded, h, w, hp, wp, th, tw, gi, gj, which,
+                       csx, csy, az, alt):
+    """Exact XLA seam bands for the tiled surface kernel.
+
+    Returns ``(rowbands, colbands)``: per product, an ``(8*gi, wp)``
+    row band (rows 0/1 of each 8-row group = tile i's first/last output
+    row) and an ``(hp, gj*128)`` column band (lanes 0/1 of each 128-lane
+    group = tile j's first/last output column).  Shared by
+    ``surface_tiled`` and the fused headline pipeline
+    (pallas_pipeline.py).
+    """
     # Each tile's first/last row (resp. column) needs cross-tile
     # neighbors the kernel never sees.  Gather them with SIX strided
     # slices per axis (one XLA op each — a per-row slice loop or an axis
@@ -264,32 +324,4 @@ def surface_tiled(data, cellsize_x, cellsize_y, azimuth, angle_altitude,
                   for j in range(gj)]
         colbands.append(jnp.concatenate(blocks, axis=1))
 
-    scal = lambda v: jnp.full((1, 1), v, jnp.float32)  # noqa: E731
-    smem = pl.BlockSpec((1, 1), lambda i, j: (0, 0),
-                        memory_space=pltpu.SMEM)
-    vmem = pl.BlockSpec((th, tw), lambda i, j: (i, j),
-                        memory_space=pltpu.VMEM)
-    rb_spec = pl.BlockSpec((8, tw), lambda i, j: (i, j),
-                           memory_space=pltpu.VMEM)
-    cb_spec = pl.BlockSpec((th, 128), lambda i, j: (i, j),
-                           memory_space=pltpu.VMEM)
-    outs = pl.pallas_call(
-        _make_kernel(which, th, tw),
-        grid=(gi, gj),
-        in_specs=[smem] * 6 + [vmem] + [rb_spec] * k + [cb_spec] * k,
-        out_specs=[vmem] * k,
-        out_shape=[jax.ShapeDtypeStruct((hp, wp), jnp.float32)] * k,
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel"),
-            vmem_limit_bytes=max(48 * 1024 * 1024,
-                                 5 * (1 + k) * th * tw * 4)),
-        interpret=interpret,
-    )(scal(csx), scal(csy), scal(jnp.sin(alt * (jnp.pi / 180.0))),
-      scal(jnp.cos(alt * (jnp.pi / 180.0))), scal(jnp.sin(phi)),
-      scal(jnp.cos(phi)), padded, *rowbands, *colbands)
-    if k == 1 and not isinstance(outs, (list, tuple)):
-        outs = [outs]
-    outs = list(outs)
-    if (hp, wp) != (h, w):
-        return tuple(o[:h, :w] for o in outs)
-    return tuple(outs)
+    return rowbands, colbands

@@ -52,92 +52,101 @@ def tiled_radius_supported(ry: int, rx: int) -> bool:
     return 0 < max(ry, 1) <= 32 and 0 < max(rx, 1) <= 256
 
 
-def _make_kernel(offsets, stats, ry, rx, th, tw, seam_cols):
-    n_stats = len(stats)
+def emit_focal(offsets, stats, ry, rx, th, tw, seam_cols, x, rb_ref,
+               cb_ref, out_ref):
+    """Write the stacked focal statistics of one (th, tw) tile into
+    ``out_ref`` ((n_stats, th, tw)).  ``x`` is the tile value already
+    read from VMEM; ``rb_ref``/``cb_ref`` the seam row/column band
+    refs.  Factored out of the kernel closure so the fused headline
+    pipeline (pallas_pipeline.py) can share one tile read between the
+    surface products and the focal statistics."""
     ih, iw = th - 2 * ry, tw  # full-width rows; lane shifts via roll
+    rows = {}
 
+    def shift(dy, dx):
+        # lane-ALIGNED window reads: vertical offsets are sublane
+        # slices, horizontal offsets are pltpu.roll lane rotations —
+        # no per-operand relayouts or masked stores (the round-2
+        # version's rx+dx column slices were misaligned for every
+        # dx).  Rotation-wrapped first/last rx columns of the tile
+        # are garbage by construction — exactly the seam-column
+        # cells the XLA strip patches overwrite post-kernel.
+        row = rows.get(dy)
+        if row is None:
+            row = rows[dy] = x[ry + dy:ry + dy + ih, :]
+        # pltpu.roll requires non-negative shifts: -dx ≡ tw-dx
+        return pltpu.roll(row, (-dx) % tw, 1) if dx else row
+
+    need_sum = any(s in stats for s in ("sum", "mean", "std", "var"))
+    need_minmax = any(s in stats for s in ("min", "max", "range"))
+
+    if need_sum:
+        cnt = jnp.zeros((ih, iw), jnp.float32)
+        ssum = jnp.zeros((ih, iw), jnp.float32)
+        for dy, dx in offsets:
+            s = shift(dy, dx)
+            ok = ~jnp.isnan(s)
+            cnt += ok.astype(jnp.float32)
+            ssum += jnp.where(ok, s, 0.0)
+        mean = jnp.where(cnt > 0, ssum / jnp.maximum(cnt, 1.0), jnp.nan)
+    if need_minmax:
+        smin = jnp.full((ih, iw), jnp.inf, jnp.float32)
+        smax = jnp.full((ih, iw), -jnp.inf, jnp.float32)
+        for dy, dx in offsets:
+            s = shift(dy, dx)
+            smin = jnp.minimum(smin,
+                               jnp.where(jnp.isnan(s), jnp.inf, s))
+            smax = jnp.maximum(smax,
+                               jnp.where(jnp.isnan(s), -jnp.inf, s))
+        smin = jnp.where(jnp.isinf(smin), jnp.nan, smin)
+        smax = jnp.where(jnp.isinf(smax), jnp.nan, smax)
+    if "std" in stats or "var" in stats:
+        dev2 = jnp.zeros((ih, iw), jnp.float32)
+        for dy, dx in offsets:
+            s = shift(dy, dx)
+            d = s - mean
+            dev2 += jnp.where(jnp.isnan(s), 0.0, d * d)
+        var = jnp.where(cnt > 0, dev2 / jnp.maximum(cnt, 1.0), jnp.nan)
+
+    for k, stat in enumerate(stats):
+        if stat == "mean":
+            val = mean
+        elif stat == "sum":
+            val = ssum
+        elif stat == "min":
+            val = smin
+        elif stat == "max":
+            val = smax
+        elif stat == "range":
+            val = smax - smin
+        elif stat == "var":
+            val = var
+        elif stat == "std":
+            val = jnp.sqrt(var)
+        out_ref[k, ry:th - ry, :] = val
+        # seam rows from the precomputed band (cols under the column
+        # patches get overwritten with identical values)
+        out_ref[k, 0:ry, :] = rb_ref[k, 0:ry, :]
+        out_ref[k, th - ry:th, :] = rb_ref[k, ry:2 * ry, :]
+        if seam_cols:
+            # seam columns in-kernel: lanes 0..rx-1 of the column
+            # band are this tile's first rx output cols, lanes
+            # rx..2rx-1 its last rx — written AFTER the row bands so
+            # column values win at corners, matching the DUS order
+            # they replace (~0.7 ms/product of post-kernel DUS on
+            # the 1 GB outputs at 16k^2, tools/exp_seam_cost.py)
+            out_ref[k, :, 0:rx] = cb_ref[k, :, 0:rx]
+            out_ref[k, :, tw - rx:tw] = cb_ref[k, :, rx:2 * rx]
+
+
+def _make_kernel(offsets, stats, ry, rx, th, tw, seam_cols):
     def kernel(in_ref, rb_ref, *cb_out):
         if seam_cols:
             cb_ref, out_ref = cb_out
         else:
-            out_ref, = cb_out
-        x = in_ref[...]
-        rows = {}
-
-        def shift(dy, dx):
-            # lane-ALIGNED window reads: vertical offsets are sublane
-            # slices, horizontal offsets are pltpu.roll lane rotations —
-            # no per-operand relayouts or masked stores (the round-2
-            # version's rx+dx column slices were misaligned for every
-            # dx).  Rotation-wrapped first/last rx columns of the tile
-            # are garbage by construction — exactly the seam-column
-            # cells the XLA strip patches overwrite post-kernel.
-            row = rows.get(dy)
-            if row is None:
-                row = rows[dy] = x[ry + dy:ry + dy + ih, :]
-            # pltpu.roll requires non-negative shifts: -dx ≡ tw-dx
-            return pltpu.roll(row, (-dx) % tw, 1) if dx else row
-
-        need_sum = any(s in stats for s in ("sum", "mean", "std", "var"))
-        need_minmax = any(s in stats for s in ("min", "max", "range"))
-
-        if need_sum:
-            cnt = jnp.zeros((ih, iw), jnp.float32)
-            ssum = jnp.zeros((ih, iw), jnp.float32)
-            for dy, dx in offsets:
-                s = shift(dy, dx)
-                ok = ~jnp.isnan(s)
-                cnt += ok.astype(jnp.float32)
-                ssum += jnp.where(ok, s, 0.0)
-            mean = jnp.where(cnt > 0, ssum / jnp.maximum(cnt, 1.0), jnp.nan)
-        if need_minmax:
-            smin = jnp.full((ih, iw), jnp.inf, jnp.float32)
-            smax = jnp.full((ih, iw), -jnp.inf, jnp.float32)
-            for dy, dx in offsets:
-                s = shift(dy, dx)
-                smin = jnp.minimum(smin,
-                                   jnp.where(jnp.isnan(s), jnp.inf, s))
-                smax = jnp.maximum(smax,
-                                   jnp.where(jnp.isnan(s), -jnp.inf, s))
-            smin = jnp.where(jnp.isinf(smin), jnp.nan, smin)
-            smax = jnp.where(jnp.isinf(smax), jnp.nan, smax)
-        if "std" in stats or "var" in stats:
-            dev2 = jnp.zeros((ih, iw), jnp.float32)
-            for dy, dx in offsets:
-                s = shift(dy, dx)
-                d = s - mean
-                dev2 += jnp.where(jnp.isnan(s), 0.0, d * d)
-            var = jnp.where(cnt > 0, dev2 / jnp.maximum(cnt, 1.0), jnp.nan)
-
-        for k, stat in enumerate(stats):
-            if stat == "mean":
-                val = mean
-            elif stat == "sum":
-                val = ssum
-            elif stat == "min":
-                val = smin
-            elif stat == "max":
-                val = smax
-            elif stat == "range":
-                val = smax - smin
-            elif stat == "var":
-                val = var
-            elif stat == "std":
-                val = jnp.sqrt(var)
-            out_ref[k, ry:th - ry, :] = val
-            # seam rows from the precomputed band (cols under the column
-            # patches get overwritten with identical values)
-            out_ref[k, 0:ry, :] = rb_ref[k, 0:ry, :]
-            out_ref[k, th - ry:th, :] = rb_ref[k, ry:2 * ry, :]
-            if seam_cols:
-                # seam columns in-kernel: lanes 0..rx-1 of the column
-                # band are this tile's first rx output cols, lanes
-                # rx..2rx-1 its last rx — written AFTER the row bands so
-                # column values win at corners, matching the DUS order
-                # they replace (~0.7 ms/product of post-kernel DUS on
-                # the 1 GB outputs at 16k^2, tools/exp_seam_cost.py)
-                out_ref[k, :, 0:rx] = cb_ref[k, :, 0:rx]
-                out_ref[k, :, tw - rx:tw] = cb_ref[k, :, rx:2 * rx]
+            cb_ref, (out_ref,) = None, cb_out
+        emit_focal(offsets, stats, ry, rx, th, tw, seam_cols, in_ref[...],
+                   rb_ref, cb_ref, out_ref)
 
     return kernel
 
@@ -162,6 +171,67 @@ def focal_stats_tiled(data, offsets, stats, th=TILE_H, tw=TILE_W,
                          constant_values=jnp.nan)
     n_stats = len(stats)
 
+    rowband, colband, strip_stats, bounds, seam_cols = focal_seam_bands(
+        padded, h, w, hp, wp, th, tw, gi, gj, offsets, stats, ry, rx)
+    rbh = _round_up(2 * ry, 8)
+
+    # ---- main tiled kernel ----------------------------------------------
+    in_specs = [pl.BlockSpec((th, tw), lambda i, j: (i, j),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((n_stats, rbh, tw), lambda i, j: (0, i, j),
+                             memory_space=pltpu.VMEM)]
+    operands = [padded, rowband]
+    if seam_cols:
+        in_specs.append(pl.BlockSpec((n_stats, th, 128),
+                                     lambda i, j: (0, i, j),
+                                     memory_space=pltpu.VMEM))
+        operands.append(colband)
+    out = pl.pallas_call(
+        _make_kernel(offsets, stats, ry, rx, th, tw, seam_cols),
+        grid=(gi, gj),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((n_stats, th, tw), lambda i, j: (0, i, j),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n_stats, hp, wp), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel"),
+            vmem_limit_bytes=max(64 * 1024 * 1024,
+                                 6 * (1 + n_stats) * th * tw * 4)),
+        interpret=interpret,
+    )(*operands)
+
+    if not seam_cols:
+        # huge-radius fallback: patch the seam columns post-kernel
+        for idx, c in enumerate(bounds):
+            t0 = max(c - rx, 0)
+            t1 = min(c + rx, w)
+            if t1 <= t0:
+                continue
+            base = idx * 4 * rx + 2 * rx - c  # strip col of raster col 0
+            patch = jnp.stack([
+                jax.lax.slice_in_dim(strip_stats[s], base + t0, base + t1,
+                                     axis=1)
+                for s in stats])
+            out = jax.lax.dynamic_update_slice(out, patch, (0, 0, t0))
+
+    if (hp, wp) != (h, w):
+        return out[:, :h, :w]
+    return out
+
+
+def focal_seam_bands(padded, h, w, hp, wp, th, tw, gi, gj, offsets, stats,
+                     ry, rx):
+    """Exact fused-XLA seam bands for the tiled focal kernel.
+
+    Returns ``(rowband, colband, strip_stats, bounds, seam_cols)``:
+    ``rowband`` is (S, gi*rbh, wp) with rows 0..2ry-1 of each rbh-row
+    group = tile i's first/last ry output rows; ``colband`` (when
+    ``seam_cols``, i.e. 2*rx <= 128) is (S, hp, gj*128) with lanes
+    0..2rx-1 of each 128-lane group = tile j's first/last rx output
+    columns; otherwise ``strip_stats``/``bounds`` support the
+    post-kernel DUS fallback.  Shared by ``focal_stats_tiled`` and the
+    fused headline pipeline (pallas_pipeline.py).
+    """
     # ---- seam-row bands: strided row slices -> batched strips ----------
     nan_row = jnp.full((1, wp), jnp.nan, jnp.float32)
 
@@ -239,45 +309,4 @@ def focal_stats_tiled(data, offsets, stats, th=TILE_H, tw=TILE_W,
             per_stat.append(jnp.concatenate(blocks, axis=1))
         colband = jnp.stack(per_stat)  # (S, hp, gj*128)
 
-    # ---- main tiled kernel ----------------------------------------------
-    in_specs = [pl.BlockSpec((th, tw), lambda i, j: (i, j),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((n_stats, rbh, tw), lambda i, j: (0, i, j),
-                             memory_space=pltpu.VMEM)]
-    operands = [padded, rowband]
-    if seam_cols:
-        in_specs.append(pl.BlockSpec((n_stats, th, 128),
-                                     lambda i, j: (0, i, j),
-                                     memory_space=pltpu.VMEM))
-        operands.append(colband)
-    out = pl.pallas_call(
-        _make_kernel(offsets, stats, ry, rx, th, tw, seam_cols),
-        grid=(gi, gj),
-        in_specs=in_specs,
-        out_specs=pl.BlockSpec((n_stats, th, tw), lambda i, j: (0, i, j),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((n_stats, hp, wp), jnp.float32),
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel"),
-            vmem_limit_bytes=max(64 * 1024 * 1024,
-                                 6 * (1 + n_stats) * th * tw * 4)),
-        interpret=interpret,
-    )(*operands)
-
-    if not seam_cols:
-        # huge-radius fallback: patch the seam columns post-kernel
-        for idx, c in enumerate(bounds):
-            t0 = max(c - rx, 0)
-            t1 = min(c + rx, w)
-            if t1 <= t0:
-                continue
-            base = idx * 4 * rx + 2 * rx - c  # strip col of raster col 0
-            patch = jnp.stack([
-                jax.lax.slice_in_dim(strip_stats[s], base + t0, base + t1,
-                                     axis=1)
-                for s in stats])
-            out = jax.lax.dynamic_update_slice(out, patch, (0, 0, t0))
-
-    if (hp, wp) != (h, w):
-        return out[:, :h, :w]
-    return out
+    return rowband, colband, strip_stats, bounds, seam_cols
