@@ -212,6 +212,17 @@ class Polygonize(Benchmarking):
         return polygonize(masked)
 
 
+class TerrainPipeline(Benchmarking):
+    """TPU-native addition (no reference counterpart): the fused
+    headline workload — surface pair + focal statistics in one pass
+    (analytics.terrain_pipeline)."""
+
+    def time_terrain_pipeline(self, nx):
+        from xrspatial_tpu.analytics import terrain_pipeline
+        return terrain_pipeline(self.agg, surface=("slope", "hillshade"),
+                                stats_funcs=("mean", "max", "min", "std"))
+
+
 ALL = [Slope, Aspect, Curvature, Hillshade, Quantile, Reclassify, Focal,
        Multispectral, Proximity, Viewshed, Zonal, Perlin, GenerateTerrain,
-       AStarSearch, Polygonize]
+       AStarSearch, Polygonize, TerrainPipeline]

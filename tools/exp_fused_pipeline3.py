@@ -1,10 +1,13 @@
 """Round-3 A/B: single-pass fused headline kernel vs the 2-way split.
 
-The round-2 mega-kernel used SEPARATE output refs and lost to the split
-(tools/exp_fused_pipeline2.py).  pallas_pipeline.py carries the focal
-stats in ONE stacked ref (the layout pallas_window2 sustains 382 GB/s
-with); this measures both API paths in one session, plus tile-shape
-variants of the fused kernel and a focal output-count scaling probe.
+FINDINGS (v5e, 16k^2, one session, 2026-08-17): fused kernel 22.2 ms
+(~315 GB/s of 1r+6w) vs split API 21.8 ms; sliced-window focal variant
+26.5 ms; tile shapes 128-512 x 2048-4096 within noise or OOM (512-row
+tiles ask 184-205 MB scoped VMEM, 67-89 MB of it register spill slots).
+Focal-alone scaling probe: x1 4.89 ms 440 GB/s, x2 6.90 467, x4 11.51
+466 — the single-op kernels are bandwidth-steady; the 7-output fusion
+is what collapses throughput.  => split stays the default
+(analytics._use_fused_pipeline), fused kernel is opt-in.
 Usage: python tools/exp_fused_pipeline3.py [N]
 """
 import os
@@ -41,35 +44,39 @@ def main():
     red = jax.jit(lambda a: jnp.sum(a[..., 0, :]))
     f32 = jnp.float32
 
+    os.environ["XRSPATIAL_FUSED_PIPELINE"] = "1"  # fused is opt-in now
+
     def run_api():
         ds = terrain_pipeline(agg, surface=("slope", "hillshade"),
                               stats_funcs=sts)
         return (red(ds["dem-slope"].data) + red(ds["dem-hillshade"].data)
                 + red(ds["focal_stats"].data))
 
-    # correctness first: fused vs split API outputs
-    ds_f = terrain_pipeline(agg, surface=("slope", "hillshade"),
-                            stats_funcs=sts)
-    os.environ["XRSPATIAL_NO_FUSED_PIPELINE"] = "1"
-    ds_s = terrain_pipeline(agg, surface=("slope", "hillshade"),
-                            stats_funcs=sts)
-    del os.environ["XRSPATIAL_NO_FUSED_PIPELINE"]
+    # correctness first, at 2048^2 (holding two 16k^2 result sets would
+    # blow the ~14 GB HBM budget)
     import numpy as np
+    small = DataArray(gaussian_bump(2048, 2048), dims=("y", "x"),
+                      name="dem", attrs={"res": (1.0, 1.0)})
+    ds_f = terrain_pipeline(small, surface=("slope", "hillshade"),
+                            stats_funcs=sts)
+    del os.environ["XRSPATIAL_FUSED_PIPELINE"]
+    ds_s = terrain_pipeline(small, surface=("slope", "hillshade"),
+                            stats_funcs=sts)
+    os.environ["XRSPATIAL_FUSED_PIPELINE"] = "1"
     for v in ("dem-slope", "dem-hillshade", "focal_stats"):
-        a = np.asarray(ds_f[v].data[..., ::257, ::511])
-        b = np.asarray(ds_s[v].data[..., ::257, ::511])
+        a = np.asarray(ds_f[v].data)
+        b = np.asarray(ds_s[v].data)
         m = ~np.isnan(a)
         assert (m == ~np.isnan(b)).all(), v
         print(f"parity {v}: maxdiff {np.abs(a[m]-b[m]).max():.2e}",
               flush=True)
-    del ds_f, ds_s
+    del ds_f, ds_s, small
 
     t_f = timed(run_api, reps=12, burst=4)
     print(f"fused API: {t_f*1e3:.2f} ms ({mpix/t_f:.0f} Mpix/s)",
           flush=True)
-    os.environ["XRSPATIAL_NO_FUSED_PIPELINE"] = "1"
+    del os.environ["XRSPATIAL_FUSED_PIPELINE"]
     t_s = timed(run_api, reps=12, burst=4)
-    del os.environ["XRSPATIAL_NO_FUSED_PIPELINE"]
     print(f"split API: {t_s*1e3:.2f} ms ({mpix/t_s:.0f} Mpix/s)",
           flush=True)
 

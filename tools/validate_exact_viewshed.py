@@ -101,6 +101,13 @@ def main():
         ex = np.asarray(viewshed_grid_exact(data, vp[0], vp[1],
                                             10.0, 0.0, 1.0, -1.0))
         t_ex = time.perf_counter() - t0
+        if os.environ.get("VS_WARM") == "1":
+            # warm re-run (compile + plan cached): the steady-state cost
+            t0 = time.perf_counter()
+            np.asarray(viewshed_grid_exact(data, vp[0], vp[1],
+                                           10.0, 0.0, 1.0, -1.0))
+            print(f"n={n}: exact warm {time.perf_counter()-t0:.2f}s "
+                  f"(cold {t_ex:.2f}s)", flush=True)
 
         t0 = time.perf_counter()
         los = viewshed_grid_los(data, vp[0], vp[1], 10.0, 0.0, 1.0, -1.0)

@@ -19,11 +19,20 @@ __all__ = ["summarize_terrain", "terrain_pipeline"]
 
 
 def _use_fused_pipeline(offsets) -> bool:
-    """Gate for the single-pass headline kernel (pallas_pipeline.py):
-    the focal window must fit its in-kernel seam machinery.  Set
-    XRSPATIAL_NO_FUSED_PIPELINE=1 to force the 2-way split (A/B knob)."""
+    """Gate for the single-pass mega-kernel (pallas_pipeline.py) —
+    OPT-IN via XRSPATIAL_FUSED_PIPELINE=1.  Measured on the v5e at
+    16k^2 (tools/exp_fused_pipeline3.py, one session): the 7-output
+    fused kernel runs at ~315 GB/s (22.2 ms) vs the 2-way split's
+    21.8 ms (surface pair 347 GB/s + focal-alone 466 GB/s) — with 7
+    concurrent output streams the register allocator spills (67-89 MB
+    of spill slots at larger tiles) and per-kernel bandwidth drops
+    below the split's, despite 1 GB less HBM traffic.  A variant
+    sharing the surface's sliced windows with the focal accumulation
+    measured worse still (26.5 ms).  The split therefore stays the
+    default; the fused kernel remains available (bit-exact, interpret-
+    tested) for chips where the trade-off differs."""
     import os
-    if os.environ.get("XRSPATIAL_NO_FUSED_PIPELINE") == "1":
+    if os.environ.get("XRSPATIAL_FUSED_PIPELINE") != "1":
         return False
     from .kernels.pallas_pipeline import pipeline_supported
     return pipeline_supported(offsets)
@@ -104,12 +113,9 @@ def terrain_pipeline(agg: DataArray,
             # ONE Pallas tile stream for ALL outputs (surface products
             # as separate refs + the focal stack as one stacked ref):
             # the DEM is read from HBM once for the whole headline
-            # workload (kernels/pallas_pipeline.py).  Supersedes the
-            # round-2 2-way split after the stacked-focal-ref layout
-            # closed the multi-output bandwidth gap the round-2 A/B
-            # measured (tools/exp_fused_pipeline2.py: separate-ref
-            # 6-output mega-kernel ~300 GB/s lost to the split; the
-            # stacked-ref fusion wins — see BENCH_NOTES round 3).
+            # workload (kernels/pallas_pipeline.py).  Opt-in only — on
+            # the v5e it measured SLOWER than the 2-way split (see
+            # _use_fused_pipeline).
             from .kernels.pallas_pipeline import pipeline_tiled
             import jax.numpy as jnp
             outs = pipeline_tiled(

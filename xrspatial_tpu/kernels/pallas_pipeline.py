@@ -9,14 +9,20 @@ is read from HBM once and the kernel writes k surface tiles plus the
 for the 2-way split (surface_tiled pair + focal_stats_tiled) to
 (1 read + 6 writes).
 
-Round-2's 6-output mega-kernel A/B (tools/exp_fused_pipeline2.py) found
-per-kernel bandwidth dropping with output count when every output was a
-SEPARATE ref (1 out 433 GB/s, 2 out 347, 6 out ~300) — yet the focal
-kernel's single stacked (4, th, tw) ref sustained 382 GB/s on 5 outputs'
-worth of traffic.  This kernel therefore keeps the surface refs separate
-(the API needs separate arrays; in-jit splits of a stacked result would
-copy gigabytes) but carries all focal stats in one stacked ref, the
-layout that measured fastest per byte.
+Measured outcome on the v5e (tools/exp_fused_pipeline3.py, 16k^2, one
+session): the fused kernel runs at ~315 GB/s (22.2 ms) and LOSES to the
+2-way split (21.8 ms; surface pair 347 GB/s + focal-alone 466 GB/s) —
+with 7 concurrent output streams the register allocator spills (67-89 MB
+of spill slots at larger tiles) and per-kernel bandwidth drops below
+what the traffic saving (1 GB less) recovers.  A variant sharing the
+surface's sliced windows with the focal accumulation was worse still
+(26.5 ms), and tile shapes (128-512) x (2048-4096) did not change the
+picture.  terrain_pipeline therefore ships the split by default and
+this kernel is OPT-IN (XRSPATIAL_FUSED_PIPELINE=1) for hardware where
+the trade-off differs.  Output-ref layout notes: surface refs stay
+separate (the API needs separate arrays; in-jit splits of a stacked
+result would copy gigabytes); focal stats ride one stacked ref (the
+layout pallas_window2 sustains 466 GB/s with).
 
 Seam machinery is shared with the single-op kernels:
 ``pallas_surface2.surface_seam_bands`` + ``pallas_window2.
@@ -65,8 +71,8 @@ def _make_kernel(which, offsets, stats, ry, rx, th, tw):
         emit_surface(which, th, tw,
                      (csx_ref, csy_ref, sin_a_ref, cos_a_ref, sin_p_ref,
                       cos_p_ref), x, s_rb, s_cb, outs[:k])
-        emit_focal(offsets, stats, ry, rx, th, tw, True, x, f_rb, f_cb,
-                   outs[k])
+        emit_focal(offsets, stats, ry, rx, th, tw, True, x, f_rb,
+                   f_cb, outs[k])
 
     return kernel
 
@@ -135,10 +141,9 @@ def pipeline_tiled(data, cellsize_x, cellsize_y, azimuth, angle_altitude,
                                            jnp.float32)]),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel"),
-            vmem_limit_bytes=min(
-                112 * 1024 * 1024,
-                max(64 * 1024 * 1024,
-                    3 * (1 + k + n_stats) * th * tw * 4))),
+            # 16k^2 with (256, 4096) tiles and 7 outputs needs ~91-104 MB
+            # of scoped VMEM (measured; smaller caps OOM at compile)
+            vmem_limit_bytes=112 * 1024 * 1024),
         interpret=interpret,
     )(scal(csx), scal(csy), scal(jnp.sin(alt * (jnp.pi / 180.0))),
       scal(jnp.cos(alt * (jnp.pi / 180.0))), scal(jnp.sin(phi)),
