@@ -149,8 +149,8 @@ def _round_up(x, m):
     return -(-x // m) * m
 
 
-@partial(jax.jit, static_argnames=("ks", "C", "metric"))
-def _multi_round_small(state, xs2, ys2, ks, C, metric):
+@partial(jax.jit, static_argnames=("ks", "C", "metric", "emit_best"))
+def _multi_round_small(state, xs2, ys2, ks, C, metric, emit_best=False):
     """Several small-stride rounds fused into ONE kernel: each grid step
     loads the 3x3 ALIGNED neighbor tiles of its output tile (halo budget
     sum(ks) <= T), stitches them into a (3T, 3T) VMEM composite, and runs
@@ -223,6 +223,14 @@ def _multi_round_small(state, xs2, ys2, ks, C, metric):
             cur, best, pxc, pyc, r = own, nb, pxn, pyn, r - k
         for o_ref, v in zip(outs, cur):
             o_ref[...] = v
+        if emit_best:
+            # after the final round best covers exactly the (T, T) output
+            # tile; emitting it here lets the caller skip an epilogue
+            # key recompute over the whole raster (measured 7.9 ms at
+            # 4096^2, tools/profile_jfa.py).  Only exact for metrics
+            # whose in-kernel key is the exact key (not great-circle's
+            # polynomial ordering key).
+            outs[C][...] = best
 
     in_specs = []
     for sy, sx in offs:
@@ -240,12 +248,13 @@ def _multi_round_small(state, xs2, ys2, ks, C, metric):
     ins = []
     for _ in offs:
         ins += list(state)
+    n_out = C + 1 if emit_best else C
     outs = pl.pallas_call(
         kernel,
         grid=(gi, gj),
         in_specs=in_specs,
-        out_specs=[out_spec] * C,
-        out_shape=[jax.ShapeDtypeStruct((HP, WP), jnp.float32)] * C,
+        out_specs=[out_spec] * n_out,
+        out_shape=[jax.ShapeDtypeStruct((HP, WP), jnp.float32)] * n_out,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary"),
             vmem_limit_bytes=100 * 1024 * 1024),
@@ -328,6 +337,7 @@ def jfa_rounds_pallas(tx_w, ty_w, tval, xs, ys, strides, metric, with_val):
     best_key) — the same contract as _jfa_rounds (the caller finalizes
     the metric).
     """
+    from .jfa import GREAT_CIRCLE
     h, w = tx_w.shape
     hp = -(-h // T) * T
     wp = -(-w // T) * T
@@ -360,6 +370,7 @@ def jfa_rounds_pallas(tx_w, ty_w, tval, xs, ys, strides, metric, with_val):
         # halo at <=130 (sum of the remaining strides + cleanup), whose
         # first-round windows would otherwise be 3x the tile area
         state = _large_round(k // 128, state, xs2, ys2, C, metric, t=128)
+    best_p = None
     if small:
         # greedy split: fuse consecutive rounds until the carried halo
         # (sum of strides) hits the VMEM window budget
@@ -371,13 +382,24 @@ def jfa_rounds_pallas(tx_w, ty_w, tval, xs, ys, strides, metric, with_val):
             cur.append(k)
             acc += k
         groups.append(tuple(cur))
-        for g in groups:
-            state = _multi_round_small(state, xs2, ys2, g, C, metric)
+        for gidx, g in enumerate(groups):
+            # the last group emits its final best key, replacing a
+            # whole-raster epilogue recompute (7.9 ms at 4096^2); the
+            # great-circle in-kernel key is a polynomial ORDERING key,
+            # so that metric keeps the exact-trig recompute
+            emit = gidx == len(groups) - 1 and metric != GREAT_CIRCLE
+            state = _multi_round_small(state, xs2, ys2, g, C, metric,
+                                       emit_best=emit)
+            if emit:
+                best_p = state.pop()
 
     crop = lambda a: a[T:T + h, T:T + w]  # noqa: E731
     tx, ty = crop(state[0]), crop(state[1])
     tv = crop(state[2]) if with_val else None
-    px = jnp.broadcast_to(xs.astype(jnp.float32)[None, :], (h, w))
-    py = jnp.broadcast_to(ys.astype(jnp.float32)[:, None], (h, w))
-    best = _key_exact(px, tx, py, ty, metric)
+    if best_p is not None:
+        best = crop(best_p)
+    else:
+        px = jnp.broadcast_to(xs.astype(jnp.float32)[None, :], (h, w))
+        py = jnp.broadcast_to(ys.astype(jnp.float32)[:, None], (h, w))
+        best = _key_exact(px, tx, py, ty, metric)
     return tx, ty, tv, best
