@@ -276,6 +276,58 @@ def _stride_schedule(max_dim: int) -> np.ndarray:
     return np.asarray(strides, dtype=np.int32)
 
 
+def packed_state_plan(xs_np, ys_np, metric):
+    """Host-side gate for the packed-index Pallas JFA state
+    (pallas_jfa.py): one int32 iy<<15|ix channel instead of two float32
+    world-coordinate channels halves every round's HBM traffic (each
+    single-round kernel is a 9-read+1-write sweep of the state).
+
+    Bit-parity conditions (packed keys must equal the unpacked path's
+    keys EXACTLY — both must be the correctly-rounded f32 of the same
+    real number):
+    - each axis is exactly affine as reals: coords[i] == c0 + i*step in
+      float64 with step representable in f32 — then coords[i]-coords[j]
+      and (i-j)*step are the same real, and one f32 subtraction vs one
+      f32 multiply round it identically;
+    - world coordinates reconstruct bitwise in the epilogue:
+      f32(c0 + f32(i*step)) == coords[i] for every i (allocation/
+      direction compare coordinates exactly);
+    - dims fit the 15-bit packing.
+    Returns ((step_y, step_x), (y0, x0)) or None to keep the
+    coordinate-carrying kernels.  GREAT_CIRCLE always returns None (its
+    key needs trig of the coordinates, not deltas).
+    """
+    if metric == GREAT_CIRCLE:
+        return None
+    xs_np = np.asarray(xs_np, dtype=np.float32)
+    ys_np = np.asarray(ys_np, dtype=np.float32)
+    h, w = ys_np.size, xs_np.size
+    if not (1 < h <= 32768 and 1 < w <= 32768):
+        return None
+
+    def axis_plan(cs):
+        n = cs.size
+        s64 = (np.float64(cs[-1]) - np.float64(cs[0])) / (n - 1)
+        s32 = np.float32(s64)
+        if np.float64(s32) != s64 or s64 == 0.0 or not np.isfinite(s64):
+            return None
+        idx = np.arange(n, dtype=np.float64)
+        if not np.array_equal(np.float64(cs),
+                              np.float64(cs[0]) + idx * s64):
+            return None
+        rec = (np.float32(cs[0])
+               + (idx.astype(np.float32) * s32)).astype(np.float32)
+        if not np.array_equal(rec, cs):
+            return None
+        return float(s32), float(cs[0])
+
+    py = axis_plan(ys_np)
+    px = axis_plan(xs_np)
+    if py is None or px is None:
+        return None
+    return ((py[0], px[0]), (py[1], px[1]))
+
+
 def manhattan_scan_plan(xs_np, ys_np):
     """Host-side dispatch decision for the exact Manhattan scan
     transform: it needs monotone coordinate axes (any raster axis
@@ -304,16 +356,18 @@ def manhattan_scan_plan(xs_np, ys_np):
 
 
 def jump_flood(target_mask, xs, ys, metric: int, values=None,
-               need_coords=True, manhattan_plan="auto"):
+               need_coords=True, manhattan_plan="auto",
+               packed_plan="auto"):
     """(distance, target_x, target_y, target_value) per pixel.
 
     target_x/y are world coordinates of the nearest target (inf where no
     target exists); target_value is the raster value at that target.
     `need_coords=False` lets the Manhattan scan path skip its coordinate
     payload channels (proximity/allocation never read them; JFA carries
-    coordinates as its state regardless).  `manhattan_plan` is the
-    manhattan_scan_plan result when the caller runs under jit (traced
-    coordinates cannot be inspected); "auto" decides here.
+    coordinates as its state regardless).  `manhattan_plan` /
+    `packed_plan` are the manhattan_scan_plan / packed_state_plan
+    results when the caller runs under jit (traced coordinates cannot
+    be inspected); "auto" decides here.
     """
     h, w = target_mask.shape
     xs = xs.astype(jnp.float32)
@@ -327,6 +381,20 @@ def jump_flood(target_mask, xs, ys, metric: int, values=None,
         if plan is not None:
             return _manhattan_flipped(target_mask, xs, ys, values,
                                       need_coords, plan)
+
+    from .pallas_jfa import (jfa_rounds_packed, jfa_rounds_pallas,
+                             use_packed_jfa, use_pallas_jfa)
+    strides = tuple(int(k) for k in _stride_schedule(max(h, w)))
+    if use_pallas_jfa(h, w, metric):
+        pplan = packed_plan
+        if pplan == "auto":
+            pplan = (packed_state_plan(xs, ys, metric)
+                     if not isinstance(xs, jax.core.Tracer) else None)
+        if pplan is not None and use_packed_jfa():
+            return jfa_rounds_packed(
+                target_mask, values, strides, metric,
+                values is not None, pplan)
+
     px = jnp.broadcast_to(xs[None, :], (h, w))
     py = jnp.broadcast_to(ys[:, None], (h, w))
     inf = jnp.float32(jnp.inf)
@@ -336,9 +404,7 @@ def jump_flood(target_mask, xs, ys, metric: int, values=None,
         tval = None
     else:
         tval = jnp.where(target_mask, values.astype(jnp.float32), 0.0)
-    strides = tuple(int(k) for k in _stride_schedule(max(h, w)))
 
-    from .pallas_jfa import jfa_rounds_pallas, use_pallas_jfa
     if use_pallas_jfa(h, w, metric):
         # Pallas rounds: candidates sliced in VMEM instead of shifted
         # through HBM (VERDICT r1 #2); coordinates ride as 1-D vectors

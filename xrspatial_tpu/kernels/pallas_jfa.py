@@ -9,11 +9,12 @@ state.  Two kernels cover the whole power-of-two stride schedule with
 ONE compilation each (compile time through the remote-compile service
 dominates multi-program designs):
 
-- `small` (stride < T): several consecutive rounds fuse into ONE
-  kernel; each grid step stitches its 3x3 aligned neighbor tiles into a
-  VMEM composite (halo = sum of the group's strides <= T, greedily
-  capped) and runs the rounds on shrinking static windows, so a whole
-  group costs one aligned 9-read+1-write sweep of the state.
+- `small` (stride < T): one round per kernel; each grid step stitches
+  its 3x3 aligned neighbor tiles into a VMEM composite and runs the
+  round on a static (T+2k)^2 window.  (Round 3 measured multi-round
+  fusion NEGATIVE: each extra in-kernel round costs ~3.7 ms at 4096^2
+  regardless of window size, more than a full fresh sweep — 9 fused
+  rounds 35.0 ms vs 9 single-round kernels 22.3 ms, same session.)
 - `large` (stride = m*T): classic-pipeline tile jumps; the 8 neighbor
   tiles are separate block inputs whose index maps read the jump `m`
   from a scalar-prefetch argument (PrefetchScalarGridSpec), so every
@@ -138,8 +139,47 @@ def _key_exact(px, ctx, py, cty, metric: int):
     return jnp.where(jnp.isfinite(ctx), d, jnp.float32(jnp.inf))
 
 
-def _select(best, S, cand, px, py, metric):
-    nd = _key(px, cand[0], py, cand[1], metric)
+def use_packed_jfa() -> bool:
+    import os
+    return os.environ.get("XRSPATIAL_NO_PACKED_JFA") != "1"
+
+
+_PACK_BITS = 15          # iy<<15 | ix; dims <= 32768 (packed_state_plan)
+_PACK_MASK = (1 << _PACK_BITS) - 1
+
+
+def _key_packed(piy, pix, cand, metric, syx):
+    """Key for the packed-index state: cand is int32 iy<<15|ix (or the
+    -1 no-target sentinel), piy/pix the cell's own int32 index planes,
+    syx the STATIC (step_y, step_x) cell sizes.  kernels/jfa.py::
+    packed_state_plan guarantees f32(delta_idx)*step is bit-identical
+    to the world-coordinate subtraction the unpacked kernels round, so
+    keys — and therefore every selection — match the unpacked path
+    exactly."""
+    from .jfa import MANHATTAN
+    sy, sx = syx
+    ciy = jax.lax.shift_right_arithmetic(cand, _PACK_BITS)
+    cix = jnp.bitwise_and(cand, _PACK_MASK)
+    dy = (piy - ciy).astype(jnp.float32) * jnp.float32(sy)
+    dx = (pix - cix).astype(jnp.float32) * jnp.float32(sx)
+    if metric == MANHATTAN:
+        d = jnp.abs(dx) + jnp.abs(dy)
+    else:
+        d = dx * dx + dy * dy
+    return jnp.where(cand >= 0, d, jnp.float32(jnp.inf))
+
+
+def _start_key(px, py, S, metric, syx):
+    if syx is not None:
+        return _key_packed(py, px, S[0], metric, syx)
+    return _key(px, S[0], py, S[1], metric)
+
+
+def _select(best, S, cand, px, py, metric, syx=None):
+    if syx is not None:
+        nd = _key_packed(py, px, cand[0], metric, syx)
+    else:
+        nd = _key(px, cand[0], py, cand[1], metric)
     better = nd < best
     S = [jnp.where(better, c, s) for s, c in zip(S, cand)]
     return jnp.where(better, nd, best), S
@@ -149,15 +189,18 @@ def _round_up(x, m):
     return -(-x // m) * m
 
 
-@partial(jax.jit, static_argnames=("ks", "C", "metric", "emit_best"))
-def _multi_round_small(state, xs2, ys2, ks, C, metric, emit_best=False):
-    """Several small-stride rounds fused into ONE kernel: each grid step
-    loads the 3x3 ALIGNED neighbor tiles of its output tile (halo budget
-    sum(ks) <= T), stitches them into a (3T, 3T) VMEM composite, and runs
-    the round sequence on shrinking static windows of it — round r+1
-    reads halo cells round r updated in-VMEM, exactly the global round
-    order.  ks groups come from the greedy halo-budget split in
-    jfa_rounds_pallas, so only a few groups compile per (C, metric).
+@partial(jax.jit, static_argnames=("ks", "C", "metric", "emit_best",
+                                   "syx"))
+def _multi_round_small(state, xs2, ys2, ks, C, metric, emit_best=False,
+                       syx=None):
+    """Small-stride round kernel: each grid step loads the 3x3 ALIGNED
+    neighbor tiles of its output tile (halo sum(ks) <= T), stitches them
+    into a (3T, 3T) VMEM composite, and runs the round sequence on
+    shrinking static windows of it.  jfa_rounds_pallas now always
+    passes SINGLE-round groups ks=(k,) — multi-round fusion measured
+    negative value (module docstring; tools/exp_jfa_groups.py) — but
+    the multi-round form is kept working for A/B re-checks on future
+    hardware.
 
     Round-3 rewrite: the previous form streamed one overlapped
     (T+2H, T+2H) BoundedSlice window per tile through emit_pipeline and
@@ -205,7 +248,7 @@ def _multi_round_small(state, xs2, ys2, ks, C, metric, emit_best=False):
         cur = [a[o:o + sz, o:o + sz] for a in win]
         pxc = pxw[o:o + sz, o:o + sz]
         pyc = pyw[o:o + sz, o:o + sz]
-        best = _key(pxc, cur[0], pyc, cur[1], metric)
+        best = _start_key(pxc, pyc, cur, metric, syx)
         r = H
         for k in ks:
             sz = T + 2 * (r - k)
@@ -219,7 +262,8 @@ def _multi_round_small(state, xs2, ys2, ks, C, metric, emit_best=False):
                         continue
                     cand = [a[k + sy * k:k + sy * k + sz,
                               k + sx * k:k + sx * k + sz] for a in cur]
-                    nb, own = _select(nb, own, cand, pxn, pyn, metric)
+                    nb, own = _select(nb, own, cand, pxn, pyn, metric,
+                                      syx)
             cur, best, pxc, pyc, r = own, nb, pxn, pyn, r - k
         for o_ref, v in zip(outs, cur):
             o_ref[...] = v
@@ -249,12 +293,15 @@ def _multi_round_small(state, xs2, ys2, ks, C, metric, emit_best=False):
     for _ in offs:
         ins += list(state)
     n_out = C + 1 if emit_best else C
+    out_shapes = [jax.ShapeDtypeStruct((HP, WP), s.dtype) for s in state]
+    if emit_best:
+        out_shapes.append(jax.ShapeDtypeStruct((HP, WP), jnp.float32))
     outs = pl.pallas_call(
         kernel,
         grid=(gi, gj),
         in_specs=in_specs,
         out_specs=[out_spec] * n_out,
-        out_shape=[jax.ShapeDtypeStruct((HP, WP), jnp.float32)] * n_out,
+        out_shape=out_shapes,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary"),
             vmem_limit_bytes=100 * 1024 * 1024),
@@ -262,8 +309,8 @@ def _multi_round_small(state, xs2, ys2, ks, C, metric, emit_best=False):
     return list(outs)
 
 
-@partial(jax.jit, static_argnames=("C", "metric", "t"))
-def _large_round(m, state, xs2, ys2, C, metric, t=T):
+@partial(jax.jit, static_argnames=("C", "metric", "t", "syx"))
+def _large_round(m, state, xs2, ys2, C, metric, t=T, syx=None):
     """One tile-jump round at stride m*t.  t=T for strides >= T; t=128
     runs the stride-128 round as its own tile-jump (128 is the lane
     width, the smallest efficient block edge), which drops it out of the
@@ -288,12 +335,13 @@ def _large_round(m, state, xs2, ys2, C, metric, t=T):
         outs = refs[9 * C + 2:]
         own_i = offs.index((0, 0))
         cur = [views[own_i * C + c][...] for c in range(C)]
-        best = _key(px_t, cur[0], py_t, cur[1], metric)
+        best = _start_key(px_t, py_t, cur, metric, syx)
         for oi, (sy, sx) in enumerate(offs):
             if sy == 0 and sx == 0:
                 continue
             cand = [views[oi * C + c][...] for c in range(C)]
-            best, cur = _select(best, cur, cand, px_t, py_t, metric)
+            best, cur = _select(best, cur, cand, px_t, py_t, metric,
+                                syx)
         for o, v in zip(outs, cur):
             o[...] = v
 
@@ -318,7 +366,8 @@ def _large_round(m, state, xs2, ys2, C, metric, t=T):
     outs = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=[jax.ShapeDtypeStruct((HP, WP), jnp.float32)] * C,
+        out_shape=[jax.ShapeDtypeStruct((HP, WP), s.dtype)
+                   for s in state],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary"),
             vmem_limit_bytes=64 * 1024 * 1024),
@@ -372,16 +421,16 @@ def jfa_rounds_pallas(tx_w, ty_w, tval, xs, ys, strides, metric, with_val):
         state = _large_round(k // 128, state, xs2, ys2, C, metric, t=128)
     best_p = None
     if small:
-        # greedy split: fuse consecutive rounds until the carried halo
-        # (sum of strides) hits the VMEM window budget
-        groups, cur, acc = [], [], 0
-        for k in small:
-            if cur and acc + k > 256:
-                groups.append(tuple(cur))
-                cur, acc = [], 0
-            cur.append(k)
-            acc += k
-        groups.append(tuple(cur))
+        # ONE round per kernel: fusing consecutive rounds into a shared
+        # composite was measured NEGATIVE value on the v5e — each extra
+        # in-kernel round costs ~3.7 ms (size-independent; the shrinking
+        # windows don't shrink the cost) while a fresh single-round
+        # sweep costs ~2.5 ms including its HBM reads (4096^2: 9 fused
+        # rounds 35.0 ms vs 9 single-round groups 22.3 ms, one session;
+        # /tmp probe logged in BENCH_NOTES round 3).  Single-round
+        # bodies also compile fast per kernel — great-circle's 9-round
+        # fused body took ~166 s cold; its per-stride bodies are tiny.
+        groups = [(k,) for k in small]
         for gidx, g in enumerate(groups):
             # the last group emits its final best key, replacing a
             # whole-raster epilogue recompute (7.9 ms at 4096^2); the
@@ -403,3 +452,95 @@ def jfa_rounds_pallas(tx_w, ty_w, tval, xs, ys, strides, metric, with_val):
         py = jnp.broadcast_to(ys.astype(jnp.float32)[:, None], (h, w))
         best = _key_exact(px, tx, py, ty, metric)
     return tx, ty, tv, best
+
+
+@partial(jax.jit, static_argnames=("strides", "metric", "with_val",
+                                   "plan"))
+def jfa_rounds_packed(target_mask, values, strides, metric, with_val,
+                      plan):
+    """Packed-index JFA: the state is ONE int32 iy<<15|ix channel
+    (plus a float value channel for allocation) instead of two float32
+    world-coordinate channels — each single-round kernel is a
+    9-read+1-write HBM sweep of the state, so halving the channel count
+    halves the dominant cost of every round.
+
+    Gated by kernels/jfa.py::packed_state_plan, which proves the keys
+    (and therefore every selection) are bit-identical to the
+    coordinate-carrying path: the coordinate axes are exactly affine,
+    so f32(delta_index)*step and the world-coordinate subtraction are
+    the same correctly-rounded real, and the epilogue's world-
+    coordinate reconstruction is verified bitwise against the actual
+    coordinate vectors.  `plan` is ((step_y, step_x), (y0, x0)).
+
+    Returns (distance, target_x, target_y, target_value) — the full
+    jump_flood contract (distances finalized here; for euclidean/
+    manhattan the in-kernel key IS the exact key, so the final small
+    round emits it directly).
+    """
+    from .jfa import _metric_finalize
+    syx, (y0, x0) = plan
+    h, w = target_mask.shape
+    hp = -(-h // T) * T
+    wp = -(-w // T) * T
+    pads = ((T, T + hp - h), (T, T + wp - w))
+    iy = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
+    ix = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
+    packed = jnp.where(target_mask,
+                       jnp.bitwise_or(jnp.left_shift(iy, _PACK_BITS), ix),
+                       jnp.int32(-1))
+    state = [jnp.pad(packed, pads, constant_values=-1)]
+    C = 1
+    if with_val:
+        state.append(jnp.pad(
+            jnp.where(target_mask, values.astype(jnp.float32), 0.0),
+            pads, constant_values=0.0))
+        C = 2
+    # own-position planes in INDEX space (int32); pad cells keep their
+    # edge-clamped index — they are relay cells whose values are always
+    # evaluated against the reader's own position, so any index is valid
+    xsp = jnp.pad(jnp.arange(w, dtype=jnp.int32), pads[1], mode="edge")
+    ysp = jnp.pad(jnp.arange(h, dtype=jnp.int32), pads[0], mode="edge")
+    xs2 = jnp.broadcast_to(xsp[None, :], (8, wp + 2 * T))
+    ys2 = jnp.broadcast_to(ysp[:, None], (hp + 2 * T, 128))
+
+    large = [k // T for k in strides if k >= T]
+    mid = [k for k in strides if 128 <= k < T]
+    small = [k for k in strides if k < 128]
+
+    if large:
+        def big_body(st, m):
+            return tuple(_large_round(m, list(st), xs2, ys2, C,
+                                      metric, syx=syx)), None
+        st, _ = jax.lax.scan(big_body, tuple(state),
+                             jnp.asarray(large, jnp.int32))
+        state = list(st)
+    for k in mid:
+        state = _large_round(k // 128, state, xs2, ys2, C, metric,
+                             t=128, syx=syx)
+    best_p = None
+    for gidx, k in enumerate(small):
+        emit = gidx == len(small) - 1
+        state = _multi_round_small(state, xs2, ys2, (k,), C, metric,
+                                   emit_best=emit, syx=syx)
+        if emit:
+            best_p = state.pop()
+
+    crop = lambda a: a[T:T + h, T:T + w]  # noqa: E731
+    pk = crop(state[0])
+    valid = pk >= 0
+    tiy = jax.lax.shift_right_arithmetic(pk, _PACK_BITS)
+    tix = jnp.bitwise_and(pk, _PACK_MASK)
+    inf = jnp.float32(jnp.inf)
+    # bitwise-verified reconstruction (packed_state_plan condition 2)
+    t_x = jnp.where(valid, jnp.float32(x0)
+                    + tix.astype(jnp.float32) * jnp.float32(syx[1]), inf)
+    t_y = jnp.where(valid, jnp.float32(y0)
+                    + tiy.astype(jnp.float32) * jnp.float32(syx[0]), inf)
+    if best_p is not None:
+        best = crop(best_p)
+    else:  # degenerate schedule with no small strides
+        piy = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
+        pix = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
+        best = _key_packed(piy, pix, pk, metric, syx)
+    t_val = crop(state[1]) if with_val else None
+    return _metric_finalize(best, metric), t_x, t_y, t_val

@@ -85,9 +85,10 @@ def _target_mask(img, target_values):
     return mask
 
 
-@partial(jax.jit, static_argnames=("metric", "mode", "targets", "mplan"))
+@partial(jax.jit, static_argnames=("metric", "mode", "targets", "mplan",
+                                   "pplan"))
 def _process_compute(img, xs, ys, max_distance, metric, mode, targets,
-                     mplan):
+                     mplan, pplan):
     """The whole proximity/allocation compute (and direction's f32
     part) as ONE jitted dispatch: eager op-by-op execution through the
     axon tunnel costs ~1-2 ms PER op in launch latency — at 4096^2 the
@@ -95,7 +96,8 @@ def _process_compute(img, xs, ys, max_distance, metric, mode, targets,
     mask = _target_mask(img, targets)
     dist, t_x, t_y, t_val = jump_flood(
         mask, xs, ys, metric, values=img if mode == ALLOCATION else None,
-        need_coords=(mode == DIRECTION), manhattan_plan=mplan)
+        need_coords=(mode == DIRECTION), manhattan_plan=mplan,
+        packed_plan=pplan)
     reachable = jnp.isfinite(t_x) & (dist <= max_distance)
     if mode == PROXIMITY:
         return jnp.where(reachable, dist, jnp.nan)
@@ -148,8 +150,10 @@ def _process(raster, x, y, target_values, max_distance, distance_metric,
     targets = tuple(float(v) for v in np.asarray(target_values).ravel())
     mplan = manhattan_scan_plan(xs_np, ys_np) if metric == MANHATTAN \
         else None
+    from .kernels.jfa import packed_state_plan
+    pplan = packed_state_plan(xs_np, ys_np, metric)
     res = _process_compute(img, xs, ys, jnp.float32(max_distance), metric,
-                           mode, targets, mplan)
+                           mode, targets, mplan, pplan)
     if mode != DIRECTION:
         return res
 
