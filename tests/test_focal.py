@@ -238,7 +238,10 @@ def test_apply_custom_func_1024(monkeypatch):
     t0 = time.perf_counter()
     out = apply(agg, kernel, func=frac_above_half)
     elapsed = time.perf_counter() - t0
-    assert elapsed < 30.0, f"host apply too slow: {elapsed:.1f}s"
+    # generous bound: the regression this guards was MINUTES of
+    # per-pixel python loops; a loaded CI box can double the normal
+    # ~5-10 s vectorized time
+    assert elapsed < 90.0, f"host apply too slow: {elapsed:.1f}s"
     # spot-check interior pixels against a directly computed window
     from numpy.lib.stride_tricks import sliding_window_view
     pad = np.pad(data, 1, constant_values=np.nan)
