@@ -264,3 +264,43 @@ def test_manhattan_allocation_direction_scan_path():
     assert dir_out[2, 3] == 0.0
     # direction must point at the manhattan-nearest target
     assert np.isfinite(dir_out).all()
+
+
+def test_packed_state_plan_gate():
+    """Host-side gate for the packed-index JFA state: accepts exactly
+    affine axes (incl. descending and scaled), rejects anything whose
+    keys or reconstructed coordinates could differ bitwise."""
+    from xrspatial_tpu.kernels.jfa import (EUCLIDEAN, GREAT_CIRCLE,
+                                           packed_state_plan)
+
+    xs = np.arange(512, dtype=np.float32)
+    ys = np.arange(256, dtype=np.float32)[::-1].copy()
+    plan = packed_state_plan(xs, ys, EUCLIDEAN)
+    assert plan is not None
+    (sy, sx), (y0, x0) = plan
+    assert sx == 1.0 and sy == -1.0 and y0 == 255.0 and x0 == 0.0
+
+    # scaled integer steps stay exact
+    plan = packed_state_plan(xs * 8.0, ys * 0.5, EUCLIDEAN)
+    assert plan is not None
+    assert plan[0] == (-0.5, 8.0)
+
+    # great-circle always falls back (key needs trig of coordinates)
+    assert packed_state_plan(xs, ys, GREAT_CIRCLE) is None
+
+    # non-uniform axis rejected
+    bad = xs.copy()
+    bad[100] += 0.5
+    assert packed_state_plan(bad, ys, EUCLIDEAN) is None
+
+    # a step that is not exactly representable as the affine sequence
+    # (0.1 accumulates rounding) is rejected
+    assert packed_state_plan((np.arange(512) * 0.1).astype(np.float32),
+                             ys, EUCLIDEAN) is None
+
+    # dims beyond the 15-bit packing are rejected
+    assert packed_state_plan(np.arange(40000, dtype=np.float32), ys,
+                             EUCLIDEAN) is None
+
+    # degenerate 1-wide axis rejected
+    assert packed_state_plan(np.float32([3.0]), ys, EUCLIDEAN) is None
