@@ -240,3 +240,30 @@ def test_los_agreement_bound_256():
     assert agree >= 0.99, agree
     both = vis_e & vis_l
     np.testing.assert_allclose(exact[both], los[both], rtol=1e-4, atol=1e-3)
+
+
+def test_exact_screen_bitwise_parity(monkeypatch):
+    """The f32 interval screen (viewshed_exact._screened_visibility)
+    must be BITWISE identical to the f64-only bucket evaluation — the
+    screen only classifies, with sound tolerance bands, and ambiguous
+    targets are re-evaluated in f64.  Flat terrain is the adversarial
+    case: every cell sits exactly on the grazing boundary, so the
+    screen must classify (almost) everything ambiguous and fall back."""
+    import os
+
+    from xrspatial_tpu.kernels.viewshed_exact import viewshed_grid_exact
+
+    rng = np.random.default_rng(17)
+    cases = [
+        (rng.random((96, 160)) * 60.0, (30, 100), 8.0),
+        (np.zeros((64, 96)), (32, 48), 3.0),  # grazing everywhere
+        (np.tile(np.arange(96.0), (64, 1)), (30, 5), 1.0),  # ramp
+    ]
+    for data, vp, oe in cases:
+        a = np.asarray(viewshed_grid_exact(data, vp[0], vp[1], oe, 0.0,
+                                           1.0, -1.0))
+        monkeypatch.setenv("XRSPATIAL_VS_NO_SCREEN", "1")
+        b = np.asarray(viewshed_grid_exact(data, vp[0], vp[1], oe, 0.0,
+                                           1.0, -1.0))
+        monkeypatch.delenv("XRSPATIAL_VS_NO_SCREEN")
+        assert np.array_equal(a, b, equal_nan=True)

@@ -36,7 +36,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .viewshed import (INVISIBLE, _interp_blocked_max,  # noqa: F401
+from .viewshed import (INVISIBLE, PI, _interp_blocked_max,  # noqa: F401
                        _visibility_epilogue, cell_attrs_host)
 
 __all__ = ["viewshed_grid_exact"]
@@ -63,8 +63,42 @@ def _blocker_table(at, idx):
     return tab
 
 
-def _bucket_plan(at, vp_row, vp_col, C):
-    """Host-side plan: target permutation, tier tables, slice offsets."""
+def _blocker_table_screen(at, idx):
+    """float32 candidate table for the interval-screen pass.
+
+    Branch decisions that the f64 path derives from comparisons
+    (crossing, angle unwrap) are precomputed HERE in float64 and shipped
+    as data, so the screen's only approximations are value casts and
+    f32 arithmetic — both covered by the interval tolerances."""
+    two_pi = 2.0 * np.pi
+    a0 = at["a0"][idx]
+    a1 = at["a1"][idx]
+    a2 = at["a2"][idx]
+    crossing = a0 > a2
+    tab = {
+        "key": at["key"][idx].astype(np.float32),
+        "a0": a0.astype(np.float32),
+        "a2": a2.astype(np.float32),
+        "a1e": np.where(crossing & (a1 < a0), a1 + two_pi,
+                        a1).astype(np.float32),
+        "a2e": np.where(crossing & (a2 < a0), a2 + two_pi,
+                        a2).astype(np.float32),
+        "g0": at["g0"][idx].astype(np.float32),
+        "g1": at["g1"][idx].astype(np.float32),
+        "g2": at["g2"][idx].astype(np.float32),
+        "crossing": crossing,
+        "valid_b": at["valid_b"][idx],
+        "idx": idx.astype(np.int32),
+    }
+    return {f: jnp.asarray(v) for f, v in tab.items()}
+
+
+def _bucket_plan(at, vp_row, vp_col, C, targets=None):
+    """Host-side plan: target permutation, tier tables, slice offsets.
+
+    ``targets`` restricts the TARGET side to a subset of cell indices
+    (used for the f64 re-evaluation of screen-ambiguous targets); the
+    candidate tiers always cover every cell."""
     n = at["a1"].size
     h, w = at["shape"]
     a1 = at["a1"]
@@ -72,13 +106,16 @@ def _bucket_plan(at, vp_row, vp_col, C):
     rows, cols = np.divmod(np.arange(n), w)
     rho = np.hypot(rows - vp_row, cols - vp_col)
 
-    C = min(C, n)
-    A = -(-n // C)
-    perm = np.argsort(a1, kind="stable")
-    a1s = a1[perm]
+    if targets is None:
+        targets = np.arange(n, dtype=np.int64)
+    n_t = targets.size
+    C = min(C, n_t)
+    A = -(-n_t // C)
+    perm = np.argsort(a1[targets], kind="stable")
+    a1s = a1[targets][perm]
 
-    lo_t = np.minimum(np.arange(A, dtype=np.int64) * C, n - C)
-    tperm = perm[(lo_t[:, None] + np.arange(C)[None, :]).ravel()]
+    lo_t = np.minimum(np.arange(A, dtype=np.int64) * C, n_t - C)
+    tperm = targets[perm[(lo_t[:, None] + np.arange(C)[None, :]).ravel()]]
     starts = a1s[lo_t]
     ends = a1s[lo_t + C - 1]
 
@@ -124,56 +161,246 @@ def viewshed_grid_exact(data, vp_row: int, vp_col: int,
                          target_elev, ew_res, ns_res)
     h, w = at["shape"]
     n = h * w
-    tperm, glob_idx, tiers, A, C = _bucket_plan(at, vp_row, vp_col, chunk)
 
-    with x64():
-        tgt = {
-            "a1": jnp.asarray(at["a1"][tperm]),
-            "key": jnp.asarray(at["key"][tperm]),
-            "grad_t": jnp.asarray(at["grad_t"][tperm]),
-            "idx": jnp.asarray(tperm.astype(np.int64)),
-        }
-        # pad the global and tier tables up to coarse length quanta:
-        # table lengths are compile-time shapes, so exact sizes would
-        # recompile on every viewpoint move; inert pad entries are
-        # filtered by the predicate (valid_b False -> -inf)
-        def pad_tab(tab, L):
-            cur = tab["idx"].shape[0]
-            if cur >= L:
-                return tab
-            pad = L - cur
-            return {f: jnp.pad(v, (0, pad),
-                               constant_values=(False if f == "valid_b"
-                                                else -1 if f == "idx"
-                                                else 0.0))
-                    for f, v in tab.items()}
-
-        glob = pad_tab(_blocker_table(at, glob_idx),
-                       _round_up(glob_idx.size, 1024))
-        tier_tabs = []
-        tier_los = []
-        for tidx, los, E in tiers:
-            L = max(E, _round_up(tidx.size, 16384))
-            tab = pad_tab(_blocker_table(at, tidx), L)
-            # clamp so the fixed-length slice stays in-bounds (extra
-            # candidates from clamping are filtered by the cover test)
-            los = np.minimum(np.maximum(los, 0), L - E).astype(np.int32)
-            tier_tabs.append((tab, E))
-            tier_los.append(jnp.asarray(los))
-
-        vis = _eval_buckets_run(tgt, glob, tier_tabs, tier_los, A, C)
-        vis_np = np.asarray(vis).ravel()
+    screen = os.environ.get("XRSPATIAL_VS_NO_SCREEN") != "1"
+    if screen:
+        visible = _screened_visibility(at, vp_row, vp_col, chunk)
+    else:
+        tperm, glob_idx, tiers, A, C = _bucket_plan(at, vp_row, vp_col,
+                                                    chunk)
+        with x64():
+            vis_np = _run_buckets_f64(at, tperm, glob_idx, tiers, A, C)
         visible = np.empty(n, dtype=bool)
         # clamped-overlap duplicates write equal values
         visible[tperm] = vis_np
-        visible_dev = jnp.asarray(visible.reshape(h, w))
 
+    with x64():
+        visible_dev = jnp.asarray(visible.reshape(h, w))
         return _visibility_epilogue(jnp.asarray(data_np), visible_dev,
                                     jnp.float64(at["vp_elev"]),
                                     jnp.int32(vp_row), jnp.int32(vp_col),
                                     jnp.float64(target_elev),
                                     jnp.float64(ew_res),
                                     jnp.float64(ns_res), (h, w))
+
+
+def _pad_tab(tab, L):
+    """Pad a candidate table up to a coarse length quantum: table
+    lengths are compile-time shapes, so exact sizes would recompile on
+    every viewpoint move; inert pad entries are filtered by the
+    predicate (valid_b False -> -inf)."""
+    cur = tab["idx"].shape[0]
+    if cur >= L:
+        return tab
+    pad = L - cur
+    return {f: jnp.pad(v, (0, pad),
+                       constant_values=(False if f in ("valid_b",
+                                                       "crossing")
+                                        else -1 if f == "idx"
+                                        else 0.0))
+            for f, v in tab.items()}
+
+
+def _build_tables(at, glob_idx, tiers, make_table):
+    glob = _pad_tab(make_table(at, glob_idx),
+                    _round_up(glob_idx.size, 1024))
+    tier_tabs = []
+    tier_los = []
+    for tidx, los, E in tiers:
+        L = max(E, _round_up(tidx.size, 16384))
+        tab = _pad_tab(make_table(at, tidx), L)
+        # clamp so the fixed-length slice stays in-bounds (extra
+        # candidates from clamping are filtered by the cover test)
+        los = np.minimum(np.maximum(los, 0), L - E).astype(np.int32)
+        tier_tabs.append((tab, E))
+        tier_los.append(jnp.asarray(los))
+    return glob, tier_tabs, tier_los
+
+
+def _run_buckets_f64(at, tperm, glob_idx, tiers, A, C):
+    """The float64 bucket evaluation over `tperm` targets (flat bool)."""
+    tgt = {
+        "a1": jnp.asarray(at["a1"][tperm]),
+        "key": jnp.asarray(at["key"][tperm]),
+        "grad_t": jnp.asarray(at["grad_t"][tperm]),
+        "idx": jnp.asarray(tperm.astype(np.int64)),
+    }
+    glob, tier_tabs, tier_los = _build_tables(at, glob_idx, tiers,
+                                              _blocker_table)
+    vis = _eval_buckets_run(tgt, glob, tier_tabs, tier_los, A, C)
+    return np.asarray(vis).ravel()
+
+
+def _screened_visibility(at, vp_row, vp_col, chunk):
+    """Interval-screened exact visibility: a float32 pass computes per
+    target a SOUND [blocked_lo, blocked_hi] interval for the max
+    blocker gradient; targets whose interval straddles their own
+    gradient band (plus every NaN) are re-evaluated with the full
+    float64 predicate over a subset bucket plan.  Bit-identical to the
+    f64-only path by construction — the f32 pass only ever CLASSIFIES,
+    with tolerances that dominate every cast and rounding error
+    (validated bitwise across sizes/seeds in tests and on chip;
+    ambiguity measured ~0.1-1% of targets on fBm terrains).
+    Measured margins: no sampled target on seeded terrains was decided
+    by less than 1e-4 while the f32 evaluation deviates < 1e-6
+    (tools/exp notes in BENCH_NOTES round 3)."""
+    from ..utils import x64
+    n = at["a1"].size
+    tperm, glob_idx, tiers, A, C = _bucket_plan(at, vp_row, vp_col, chunk)
+    tgt32 = {
+        "a1": jnp.asarray(at["a1"][tperm].astype(np.float32)),
+        "key": jnp.asarray(at["key"][tperm].astype(np.float32)),
+        "idx": jnp.asarray(tperm.astype(np.int32)),
+    }
+    glob, tier_tabs, tier_los = _build_tables(at, glob_idx, tiers,
+                                              _blocker_table_screen)
+    hi, lo = _eval_buckets_screen_run(tgt32, glob, tier_tabs, tier_los,
+                                      A, C)
+    hi = np.asarray(hi).ravel().astype(np.float64)
+    lo = np.asarray(lo).ravel().astype(np.float64)
+
+    gt32 = at["grad_t"][tperm].astype(np.float32).astype(np.float64)
+    tau_g = 1e-6
+    sure_vis = hi <= gt32 - tau_g
+    sure_blk = lo > gt32 + tau_g
+    amb = ~(sure_vis | sure_blk)  # NaN comparisons land here
+
+    visible = np.empty(n, dtype=bool)
+    visible[tperm] = sure_vis
+
+    amb_idx = np.unique(tperm[amb])
+    if amb_idx.size:
+        if amb_idx.size > max(0.05 * n, 4096):
+            # safety valve: screening failed to separate — run full f64
+            with x64():
+                vis_np = _run_buckets_f64(at, tperm, glob_idx, tiers,
+                                          A, C)
+            visible[tperm] = vis_np
+            return visible
+        # pad the subset to a power-of-two length quantum (stable
+        # compile shapes); edge-repeat duplicates write equal values
+        L = 1 << (max(int(amb_idx.size), 128) - 1).bit_length()
+        sub = np.pad(amb_idx, (0, L - amb_idx.size), mode="edge")
+        tperm_a, glob_i, tiers_a, A_a, C_a = _bucket_plan(
+            at, vp_row, vp_col, min(chunk, 128), targets=sub)
+        with x64():
+            vis_a = _run_buckets_f64(at, tperm_a, glob_i, tiers_a,
+                                     A_a, C_a)
+        visible[tperm_a] = vis_a
+    return visible
+
+
+# float32 interval tolerances (see _interp_blocked_screen): generous
+# multiples of worst-case cast+rounding bounds for values in the
+# predicate's ranges (angles <= 4*pi unwrapped, gradients in
+# [-pi/2, pi/2], keys compared relatively)
+_TAU_A = np.float32(4e-6)    # absolute angle error bound
+_TAU_C = np.float32(1e-5)    # cover-comparison band (> 2*_TAU_A)
+_TAU_G = np.float32(1e-6)    # gradient value band
+_TAU_K = np.float32(2e-6)    # relative key band
+_D_RISKY = np.float32(6.4e-5)  # 16*_TAU_A: segment too thin to divide
+
+
+def _interp_blocked_screen(al, key_t, idx_t, c):
+    """(blocked_hi, blocked_lo) per target over one candidate block —
+    sound float32 bounds on the f64 `_interp_blocked_max` result.
+
+    Soundness: maybe-active (widened cover/closer bands) is a superset
+    of truly-active, sure-active (narrowed bands) a subset; for every
+    truly-active pair the true interpolated gradient lies in
+    [min(g0,g1,g2)-tau_g, max(g0,g1,g2)+tau_g] (in-range piecewise
+    interpolation of cast values), so the clamped per-pair bounds hold
+    even where the f32 ratio is untrustworthy; where both segment
+    widths are comfortably > the angle-error bound the tighter
+    gi +- tol bound applies, with tol covering the division's error
+    amplification (8*tau_a / segment width, capped).  Branch decisions
+    the f64 path takes on comparisons are either precomputed in f64
+    (crossing, candidate unwrap — shipped as data) or proven stable for
+    sure-active pairs (the narrowed cover band keeps |al - a0| > tau_c
+    - tau_a, so the target-unwrap comparison cannot flip)."""
+    crossing = c["crossing"][None]
+    a0 = c["a0"][None]
+    a2 = c["a2"][None]
+    a1e = c["a1e"][None]
+    a2e = c["a2e"][None]
+    g0 = c["g0"][None]
+    g1 = c["g1"][None]
+    g2 = c["g2"][None]
+    base = (c["idx"][None] != idx_t) & c["valid_b"][None]
+
+    cov_w = jnp.where(crossing,
+                      (al > a0 - _TAU_C) | (al < a2 + _TAU_C),
+                      (al > a0 - _TAU_C) & (al < a2 + _TAU_C))
+    cov_n = jnp.where(crossing,
+                      (al > a0 + _TAU_C) | (al < a2 - _TAU_C),
+                      (al > a0 + _TAU_C) & (al < a2 - _TAU_C))
+    key_b = c["key"][None]
+    maybe = cov_w & (key_b < key_t * (1.0 + _TAU_K)) & base
+    sure = cov_n & (key_b < key_t * (1.0 - _TAU_K)) & base
+
+    two_pi = jnp.float32(2.0 * PI)
+    ale = jnp.where(crossing & (al < a0), al + two_pi, al)
+    seg1 = ale < a1e
+    seg2 = ale > a1e
+    d10 = jnp.abs(a1e - a0)
+    d21 = jnp.abs(a2e - a1e)
+    d10s = jnp.where(d10 > 0, d10, jnp.float32(1.0))
+    d21s = jnp.where(d21 > 0, d21, jnp.float32(1.0))
+    gi = jnp.where(
+        seg1, g1 + (g0 - g1) * (a1e - ale) / d10s,
+        jnp.where(seg2, g1 + (g2 - g1) * (ale - a1e) / d21s, g1))
+
+    min3 = jnp.minimum(g0, jnp.minimum(g1, g2))
+    max3 = jnp.maximum(g0, jnp.maximum(g1, g2))
+    span = max3 - min3
+    dmin = jnp.minimum(d10s, d21s)
+    rt = jnp.minimum(jnp.float32(1.0),
+                     (8.0 * _TAU_A) / jnp.maximum(dmin, jnp.float32(1e-9)))
+    tol = _TAU_G + span * rt
+    risky = (d10 < _D_RISKY) | (d21 < _D_RISKY)
+    hi_p = jnp.where(risky, max3 + _TAU_G,
+                     jnp.minimum(gi + tol, max3 + _TAU_G))
+    lo_p = jnp.where(risky, min3 - _TAU_G,
+                     jnp.maximum(gi - tol, min3 - _TAU_G))
+    ninf = jnp.float32(-jnp.inf)
+    hi = jnp.max(jnp.where(maybe, hi_p, ninf), axis=1)
+    lo = jnp.max(jnp.where(sure, lo_p, ninf), axis=1)
+    return hi, lo
+
+
+@partial(jax.jit, static_argnames=("A", "C", "Es"))
+def _eval_buckets_screen_impl(tgt, glob, tabs, tier_los, A, C, Es):
+    def body(_, k):
+        def sl(arr):
+            return jax.lax.dynamic_slice(arr, (k * C,), (C,))
+
+        al = sl(tgt["a1"])[:, None]
+        kt = sl(tgt["key"])[:, None]
+        it = sl(tgt["idx"])[:, None]
+
+        his = []
+        los_ = []
+        h, l = _interp_blocked_screen(al, kt, it, glob)
+        his.append(h)
+        los_.append(l)
+        for tab, los, E in zip(tabs, tier_los, Es):
+            lo = los[k]
+            c = {f: jax.lax.dynamic_slice(v, (lo,), (E,))
+                 for f, v in tab.items()}
+            h, l = _interp_blocked_screen(al, kt, it, c)
+            his.append(h)
+            los_.append(l)
+        return None, (reduce(jnp.maximum, his), reduce(jnp.maximum, los_))
+
+    _, (hi, lo) = jax.lax.scan(body, None, jnp.arange(A))
+    return hi, lo
+
+
+def _eval_buckets_screen_run(tgt, glob, tier_tabs, tier_los, A, C):
+    tabs = tuple(tab for tab, _ in tier_tabs)
+    Es = tuple(E for _, E in tier_tabs)
+    return _eval_buckets_screen_impl(tgt, glob, tabs, tuple(tier_los),
+                                     A, C, Es)
 
 
 @partial(jax.jit, static_argnames=("A", "C", "Es"))
