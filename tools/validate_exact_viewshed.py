@@ -37,6 +37,9 @@ from measure_viewshed_agreement import make_terrain
 # full pairwise oracle above this size is intractable; sample targets
 FULL_ORACLE_MAX = 512 * 512
 N_SAMPLED = 4096
+# the f64-emulated sampled oracle OOMs HBM beyond ~1024^2 with 4096
+# targets; shrink the sample there (still a strong bitwise check)
+N_SAMPLED_BIG = 1024
 
 
 def _sampled_oracle(at, sample_idx):
@@ -66,7 +69,11 @@ def _sampled_oracle(at, sample_idx):
         it = jnp.asarray(sample_idx.astype(np.int64))[:, None]
 
         @jax.jit
-        def run():
+        def run(al, kt, it, planes, valid, bidx, gts):
+            # plane arrays ride as ARGUMENTS: a closed-over device array
+            # becomes a compile-payload constant, and at 2048^2 the f64
+            # planes (235 MB) overflow the remote-compile request
+            # (HTTP 413)
             def body(carry, inp):
                 ks, a0s, a1s, a2s, g0s, g1s, g2s, vs, ids = inp
                 m = _interp_blocked_max(
@@ -74,14 +81,15 @@ def _sampled_oracle(at, sample_idx):
                     g0s[None], g1s[None], g2s[None], vs[None], ids[None])
                 return jnp.maximum(carry, m), None
 
-            init = jnp.full((sample_idx.size,), -jnp.inf, jnp.float64)
+            init = jnp.full((al.shape[0],), -jnp.inf, jnp.float64)
             blocked, _ = jax.lax.scan(
                 body, init,
                 (planes["key"], planes["a0"], planes["a1"], planes["a2"],
                  planes["g0"], planes["g1"], planes["g2"], valid, bidx))
-            return blocked <= jnp.asarray(at["grad_t"][sample_idx])
+            return blocked <= gts
 
-        return np.asarray(run())
+        return np.asarray(run(al, kt, it, planes, valid, bidx,
+                              jnp.asarray(at["grad_t"][sample_idx])))
 
 
 def main():
@@ -130,14 +138,15 @@ def main():
         else:
             at = cell_attrs_host(data, vp[0], vp[1], 10.0, 0.0, 1.0, -1.0)
             rng = np.random.default_rng(99)
-            sample = np.sort(rng.choice(n * n, size=N_SAMPLED,
+            ns = N_SAMPLED if n * n <= 1024 * 1024 else N_SAMPLED_BIG
+            sample = np.sort(rng.choice(n * n, size=ns,
                                         replace=False))
             t0 = time.perf_counter()
             vis_s = _sampled_oracle(at, sample)
             t_pw = time.perf_counter() - t0
             bit = np.array_equal(vis_s, ex.ravel()[sample] > -1)
             ok &= bit
-            print(f"n={n}: SAMPLED({N_SAMPLED}) oracle bitwise={bit} "
+            print(f"n={n}: SAMPLED({ns}) oracle bitwise={bit} "
                   f"exact={t_ex:.2f}s sampled_oracle={t_pw:.2f}s "
                   f"xdraw={t_los:.3f}s "
                   f"xdraw_agree={((ex > -1) == (los > -1)).mean():.4f}",

@@ -1,7 +1,7 @@
 """Viewshed: visible cells from an observer location.
 
 TPU-native counterpart of reference ``xrspatial/viewshed.py``.  Rasters up
-to ``_EXACT_MAX_CELLS`` (1024x1024) evaluate the exact GRASS r.viewshed
+to ``_EXACT_MAX_CELLS`` (2048x2048) evaluate the exact GRASS r.viewshed
 visibility predicate — the reference's radial sweep + red-black tree
 (viewshed.py:1337-1502) reformulated as angle-sorted bucket evaluation
 (kernels/viewshed_exact.py, ~N^1.5 work, float64, bit-identical to the
@@ -35,9 +35,14 @@ OBS_ELEV = 0
 TARGET_ELEV = 0
 
 # above this cell count the default switches from the exact bucket
-# evaluation (~N^1.5 work, float64) to the XDraw approximation (O(N),
-# float32); exact=True keeps the exact path at any size
-_EXACT_MAX_CELLS = 1024 * 1024
+# evaluation (~N^1.5 work; f32-screened f64 predicate) to the XDraw
+# approximation (O(N), float32); exact=True keeps the exact path at any
+# size.  Steady-state exact cost on a v5e: 512^2 0.9 s, 1024^2 3.7 s,
+# 2048^2 18 s (BENCH_NOTES round 3) — the reference's sweep is exact-
+# only at every size, so exactness stays the default up to the point
+# where the cost leaves the same order of magnitude as the reference's
+# own numpy sweep (7.24 s at 3000^2)
+_EXACT_MAX_CELLS = 2048 * 2048
 
 
 def viewshed(raster: DataArray,
@@ -63,15 +68,16 @@ def viewshed(raster: DataArray,
         ``True`` forces the exact GRASS predicate (angle-sorted bucket
         evaluation, ~N^1.5 work, float64) at any size; ``False`` forces
         the XDraw octant-scan approximation; ``None`` (default) selects
-        by size (exact up to 1024x1024 cells).
+        by size (exact up to 2048x2048 cells).
 
     Notes
     -----
-    Rasters with at most 1024x1024 cells use the exact GRASS predicate
-    (angular spans + interpolated gradients, float64), computed by the
-    angle-sorted bucket formulation in kernels/viewshed_exact.py —
-    bit-identical to the reference's sweep semantics, at ~N^1.5 cost
-    instead of the O(N^2) pairwise form.  Larger rasters use the XDraw
+    Rasters with at most 2048x2048 cells use the exact GRASS predicate
+    (angular spans + interpolated gradients, float64 decisions behind a
+    sound float32 interval screen), computed by the angle-sorted bucket
+    formulation in kernels/viewshed_exact.py — bit-identical to the
+    reference's sweep semantics, at ~N^1.5 cost instead of the O(N^2)
+    pairwise form.  Larger rasters use the XDraw
     octant-scan approximation (float32): an O(N) wavefront whose
     interpolated-blocker errors can flip visibility at cells that are
     not exact ties (measured agreement ~99.5%; bound asserted in
