@@ -558,6 +558,35 @@ def _unique_and_seg_ids(zdata):
     return unique, _segment_ids(jnp.asarray(zdata), jnp.asarray(unique))
 
 
+# zones-array -> (zmin, zmax) memo: the range fetch is a device->host
+# scalar roundtrip (~30 ms through the axon tunnel) that GATES tracing
+# (nz is a static shape), so repeat stats/crosstab calls on the same
+# zones array would pay it every time.  Keyed by a weakref so entries
+# die with their array; jax.Array contents are immutable, so the cached
+# range can never go stale.
+_zone_range_memo = {}
+
+
+def _int_min_max_cached(zdata):
+    import weakref
+    key = id(zdata)
+    hit = _zone_range_memo.get(key)
+    if hit is not None and hit[0]() is zdata:
+        return hit[1]
+    mn_d, mx_d = _int_min_max(zdata)
+    # one stacked fetch, not two sequential scalar roundtrips
+    mn, mx = (int(v) for v in np.asarray(jnp.stack([mn_d, mx_d])))
+
+    def _drop(_ref, key=key):
+        _zone_range_memo.pop(key, None)
+
+    try:
+        _zone_range_memo[key] = (weakref.ref(zdata, _drop), (mn, mx))
+    except TypeError:
+        pass  # not weakref-able: skip caching
+    return mn, mx
+
+
 def _dense_zone_range(zdata):
     """(zmin, nz) for the dense device path, or None if unsuitable:
     requires a device-resident integer zones array whose value range fits
@@ -568,8 +597,7 @@ def _dense_zone_range(zdata):
         return None
     if not jnp.issubdtype(zdata.dtype, jnp.integer) or zdata.size == 0:
         return None
-    mn, mx = _int_min_max(zdata)
-    zmin, zmax = int(mn), int(mx)
+    zmin, zmax = _int_min_max_cached(zdata)
     if zmin < -(2 ** 31) or zmax >= 2 ** 31:
         return None  # raw ids would overflow the device int32 math
     nz = zmax - zmin + 1
