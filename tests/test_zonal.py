@@ -608,3 +608,25 @@ def test_crosstab_int_categories_beyond_f32_precision():
     assert set(df.columns) == {"zone", a, b}
     np.testing.assert_array_equal(df[a], [2, 2])
     np.testing.assert_array_equal(df[b], [2, 2])
+
+
+def test_int_min_max_memo():
+    """The device zone-range fetch is memoized per zones array (weakref
+    keyed, dropped when the array dies) — repeat stats/crosstab calls on
+    one zones array must not re-pay the gating device->host roundtrip."""
+    import gc
+
+    import jax.numpy as jnp
+
+    from xrspatial_tpu import zonal
+
+    z = jnp.asarray(np.array([[3, 9], [5, 7]], dtype=np.int32))
+    r1 = zonal._int_min_max_cached(z)
+    assert r1 == (3, 9)
+    key = id(z)
+    assert key in zonal._zone_range_memo
+    # second call hits the memo (same object identity)
+    assert zonal._int_min_max_cached(z) == (3, 9)
+    del z
+    gc.collect()
+    assert key not in zonal._zone_range_memo
