@@ -221,3 +221,33 @@ def test_equal_interval_constant_raster():
     agg = create_test_raster(np.ones((3, 4), dtype=np.float32))
     out = np.asarray(equal_interval(agg, k=3).data)
     assert (out == 0).all()
+
+
+def test_radix_percentile_bitwise():
+    """kernels/selection.py must be BIT-IDENTICAL to jnp.nanpercentile
+    (same order statistics, same interpolation arithmetic)."""
+    import jax.numpy as jnp
+
+    from xrspatial_tpu.kernels.selection import nanpercentile_select
+
+    rng = np.random.default_rng(5)
+    cases = [
+        (rng.random(100_000).astype(np.float32) * 2000 - 500,
+         [20.0, 25.0, 50.0, 75.0, 100.0]),
+        (rng.standard_normal(65_536).astype(np.float32), [33.3, 66.6]),
+        (np.repeat(np.float32([1.5, -2.5, 7.0]), 1000), [10.0, 90.0]),
+    ]
+    # NaN holes + negative zeros + exact duplicates
+    cases[0][0][::17] = np.nan
+    cases[0][0][5] = -0.0
+    for data, p in cases:
+        a = np.asarray(nanpercentile_select(
+            jnp.asarray(data), jnp.asarray(np.float32(p)), len(p)))
+        b = np.asarray(jnp.nanpercentile(jnp.asarray(data),
+                                         jnp.asarray(np.float32(p))))
+        np.testing.assert_array_equal(a, b)
+    # all-NaN input -> NaN
+    allnan = np.full(4096, np.nan, np.float32)
+    a = np.asarray(nanpercentile_select(jnp.asarray(allnan),
+                                        jnp.asarray(np.float32([50.0])), 1))
+    assert np.isnan(a).all()

@@ -106,12 +106,25 @@ def _nanpercentile_jit(data, p):
     return jnp.nanpercentile(_finite_or_nan(data).ravel(), p)
 
 
+def _nanpercentile(data, p_np):
+    """nanpercentile dispatch: the sort-free radix select on TPU at
+    scale (bit-identical; kernels/selection.py — jnp.nanpercentile's
+    full lax.sort costs ~70 ms at 16.7M elements), else the jnp path."""
+    from .kernels.selection import (nanpercentile_select,
+                                    use_radix_percentile)
+    p_np = np.asarray(p_np, dtype=np.float32)
+    if use_radix_percentile(data.size):
+        return nanpercentile_select(_finite_or_nan(data).ravel(),
+                                    jnp.asarray(p_np), int(p_np.size))
+    return _nanpercentile_jit(data, jnp.asarray(p_np))
+
+
 def _quantile_bins(data, k: int) -> np.ndarray:
     w = 100.0 / k
     p = np.arange(w, 100 + w, w)
     if p[-1] > 100.0:
         p[-1] = 100.0
-    q = np.asarray(_nanpercentile_jit(data, jnp.asarray(p)))
+    q = np.asarray(_nanpercentile(data, p))
     return np.unique(q)
 
 
@@ -139,7 +152,7 @@ def percentiles(agg, pct: Optional[List] = None,
             raise ValueError("percentiles must be in (0, 100]")
     data = to_jax(agg)
     q = np.unique(np.asarray(
-        _nanpercentile_jit(data, jnp.asarray(np.asarray(pct, dtype=float)))))
+        _nanpercentile(data, np.asarray(pct, dtype=float))))
     out = _bin(data, q, np.arange(len(q)))
     return wrap_like(agg, out, name)
 
@@ -193,8 +206,7 @@ def box_plot(agg, hinge: float = 1.5,
              name: Optional[str] = 'box_plot') -> DataArray:
     """Classify by box-plot fences: q1-h*iqr, q1, q2, q3, q3+h*iqr, max."""
     data = to_jax(agg)
-    q = np.asarray(_nanpercentile_jit(
-        data, jnp.asarray([25.0, 50.0, 75.0])))
+    q = np.asarray(_nanpercentile(data, [25.0, 50.0, 75.0]))
     q1, q2, q3 = (float(v) for v in q)
     max_v = float(_min_max_jit(data)[1])
     iqr = q3 - q1
