@@ -357,7 +357,7 @@ def manhattan_scan_plan(xs_np, ys_np):
 
 def jump_flood(target_mask, xs, ys, metric: int, values=None,
                need_coords=True, manhattan_plan="auto",
-               packed_plan="auto"):
+               packed_plan="auto", allow_pallas=True):
     """(distance, target_x, target_y, target_value) per pixel.
 
     target_x/y are world coordinates of the nearest target (inf where no
@@ -385,7 +385,8 @@ def jump_flood(target_mask, xs, ys, metric: int, values=None,
     from .pallas_jfa import (jfa_rounds_packed, jfa_rounds_pallas,
                              use_packed_jfa, use_pallas_jfa)
     strides = tuple(int(k) for k in _stride_schedule(max(h, w)))
-    if use_pallas_jfa(h, w, metric):
+    use_pallas = allow_pallas and use_pallas_jfa(h, w, metric)
+    if use_pallas:
         pplan = packed_plan
         if pplan == "auto":
             pplan = (packed_state_plan(xs, ys, metric)
@@ -405,7 +406,7 @@ def jump_flood(target_mask, xs, ys, metric: int, values=None,
     else:
         tval = jnp.where(target_mask, values.astype(jnp.float32), 0.0)
 
-    if use_pallas_jfa(h, w, metric):
+    if use_pallas:
         # Pallas rounds: candidates sliced in VMEM instead of shifted
         # through HBM (VERDICT r1 #2); coordinates ride as 1-D vectors
         tx_w, ty_w, tval, best = jfa_rounds_pallas(

@@ -86,9 +86,9 @@ def _target_mask(img, target_values):
 
 
 @partial(jax.jit, static_argnames=("metric", "mode", "targets", "mplan",
-                                   "pplan"))
+                                   "pplan", "allow_pallas"))
 def _process_compute(img, xs, ys, max_distance, metric, mode, targets,
-                     mplan, pplan):
+                     mplan, pplan, allow_pallas=True):
     """The whole proximity/allocation compute (and direction's f32
     part) as ONE jitted dispatch: eager op-by-op execution through the
     axon tunnel costs ~1-2 ms PER op in launch latency — at 4096^2 the
@@ -97,7 +97,7 @@ def _process_compute(img, xs, ys, max_distance, metric, mode, targets,
     dist, t_x, t_y, t_val = jump_flood(
         mask, xs, ys, metric, values=img if mode == ALLOCATION else None,
         need_coords=(mode == DIRECTION), manhattan_plan=mplan,
-        packed_plan=pplan)
+        packed_plan=pplan, allow_pallas=allow_pallas)
     reachable = jnp.isfinite(t_x) & (dist <= max_distance)
     if mode == PROXIMITY:
         return jnp.where(reachable, dist, jnp.nan)
@@ -152,8 +152,13 @@ def _process(raster, x, y, target_values, max_distance, distance_metric,
         else None
     from .kernels.jfa import packed_state_plan
     pplan = packed_state_plan(xs_np, ys_np, metric)
+    # mesh-sharded rasters run the XLA scan rounds under GSPMD (static
+    # shifts lower to collective-permutes across shard edges); a
+    # pallas_call would not partition over the mesh
+    from .parallel.halo import get_raster_mesh
+    allow_pallas = get_raster_mesh(img) is None
     res = _process_compute(img, xs, ys, jnp.float32(max_distance), metric,
-                           mode, targets, mplan, pplan)
+                           mode, targets, mplan, pplan, allow_pallas)
     if mode != DIRECTION:
         return res
 
