@@ -304,3 +304,45 @@ def test_packed_state_plan_gate():
 
     # degenerate 1-wide axis rejected
     assert packed_state_plan(np.float32([3.0]), ys, EUCLIDEAN) is None
+
+
+def test_packed_key_bit_parity():
+    """The packed-index in-kernel key (pallas_jfa._key_packed) must be
+    BITWISE equal to the world-coordinate key for gate-passing affine
+    axes — the parity proof packed_state_plan relies on (both are the
+    correctly-rounded f32 of the same real)."""
+    import jax.numpy as jnp
+
+    from xrspatial_tpu.kernels import pallas_jfa as pj
+    from xrspatial_tpu.kernels.jfa import (EUCLIDEAN, MANHATTAN,
+                                           packed_state_plan)
+
+    rng = np.random.default_rng(8)
+    for sy, sx, y0, x0 in [(1.0, 1.0, 0.0, 0.0), (-2.0, 8.0, 100.0, -50.0),
+                           (0.5, -0.25, 3.5, 1.25)]:
+        h, w = 64, 96
+        ys = (y0 + np.arange(h) * sy).astype(np.float32)
+        xs = (x0 + np.arange(w) * sx).astype(np.float32)
+        for metric in (EUCLIDEAN, MANHATTAN):
+            plan = packed_state_plan(xs, ys, metric)
+            assert plan is not None, (sy, sx)
+            (psy, psx), _ = plan
+            # random candidate indices + own positions
+            ciy = rng.integers(0, h, 500).astype(np.int32)
+            cix = rng.integers(0, w, 500).astype(np.int32)
+            piy = rng.integers(0, h, 500).astype(np.int32)
+            pix = rng.integers(0, w, 500).astype(np.int32)
+            cand = jnp.asarray((ciy.astype(np.int64) << 15)
+                               | cix.astype(np.int64)).astype(jnp.int32)
+            got = np.asarray(pj._key_packed(
+                jnp.asarray(piy), jnp.asarray(pix), cand, metric,
+                (psy, psx)))
+            want = np.asarray(pj._key(
+                jnp.asarray(xs[pix]), jnp.asarray(xs[cix]),
+                jnp.asarray(ys[piy]), jnp.asarray(ys[ciy]), metric))
+            np.testing.assert_array_equal(got, want)
+            # sentinel -> inf
+            s = np.asarray(pj._key_packed(
+                jnp.asarray(piy[:4]), jnp.asarray(pix[:4]),
+                jnp.full(4, -1, jnp.int32), metric, (psy, psx)))
+            assert np.isinf(s).all()
