@@ -60,3 +60,48 @@ def test_benchmark_suite_smoke():
         assert results, cls.__name__
         for name, nx, res in results:
             assert not isinstance(res, Exception), (name, res)
+
+
+def test_utils_backend_predicates_and_images():
+    """Reference-compat utilities (utils.py:34-115, 363-452): backend
+    predicates answer truthfully for the single JAX backend; image
+    helpers pack RGBA uint32 rasters (returned as DataArrays — no
+    datashader dependency)."""
+    import numpy as np
+
+    from xrspatial_tpu import utils
+    from xrspatial_tpu.xrlib import DataArray
+
+    assert utils.has_cuda_and_cupy() is False
+    assert utils.is_cupy_array(np.zeros(3)) is False
+    assert utils.has_dask_array() is False
+    assert utils.has_dask_dataframe() is False
+    assert utils.is_cupy_backed(None) is False
+    assert utils.is_dask_cupy(None) is False
+    import pytest
+    with pytest.raises(NotImplementedError):
+        utils.cuda_args((4, 4))
+    with pytest.raises(NotImplementedError):
+        utils.not_implemented_func(None, messages="nope")
+
+    r = np.array([[10.0, np.nan], [1.0, 200.0]])
+    g = np.full((2, 2), 20.0)
+    b = np.full((2, 2), 30.0)
+    img = utils.bands_to_img(r, g, b, nodata=1)
+    arr = np.asarray(img.data)
+    assert arr.dtype == np.uint32
+    # pixel (0,0): r=10 g=20 b=30 a=255
+    assert arr[0, 0] == (10 | (20 << 8) | (30 << 16) | (255 << 24))
+    # NaN red and r<=nodata -> alpha 0
+    assert (arr[0, 1] >> 24) == 0 and (arr[1, 0] >> 24) == 0
+
+    agg = DataArray(np.array([[1, 2], [3, 1]]), dims=("y", "x"))
+    out = np.asarray(utils.color_values(
+        agg, {1: "red", 2: "#00ff00", 3: (0, 0, 255)}, alpha=128).data)
+    assert out[0, 0] == (255 | (128 << 24))
+    assert out[0, 1] == ((255 << 8) | (128 << 24))
+    assert out[1, 0] == ((255 << 16) | (128 << 24))
+
+    from xrspatial_tpu.esri import chunker
+    assert [list(c) for c in chunker(list(range(5)), 2)] == \
+        [[0, 1], [2, 3], [4]]

@@ -66,3 +66,9 @@ def query_to_dataframe(layer, where, token=None, outFields='*',
                        chunkSize=100, use_aliases=True):
     featureset = query_layer(layer, where, token, outFields, chunkSize)
     return featureset_to_dataframe(featureset, use_aliases=use_aliases)
+
+
+def chunker(seq, size):
+    """Yield successive `size`-sized slices of `seq`
+    (reference esri.py:23-24)."""
+    return (seq[pos:pos + size] for pos in range(0, len(seq), size))

@@ -35,6 +35,17 @@ __all__ = [
     "to_jax",
     "wrap_like",
     "nan_border",
+    "bands_to_img",
+    "color_values",
+    "has_cuda_and_cupy",
+    "is_cupy_array",
+    "has_dask_array",
+    "has_dask_dataframe",
+    "is_cupy_backed",
+    "is_dask_cupy",
+    "cuda_args",
+    "calc_cuda_dims",
+    "not_implemented_func",
 ]
 
 
@@ -392,3 +403,128 @@ def nan_border(arr: jax.Array, radius: int = 1) -> jax.Array:
     interior = ((rows >= radius) & (rows < h - radius)
                 & (cols >= radius) & (cols < w - radius))
     return jnp.where(interior, arr, jnp.nan)
+
+
+# ---------------------------------------------------------------------------
+# Backend predicates + image helpers (reference utils.py:34-115, 363-452)
+# ---------------------------------------------------------------------------
+# The reference's 4-backend dispatch (numpy/cupy/dask/dask-cupy) does not
+# exist here — the single JAX/TPU backend replaces it by design — but
+# user code ported from the reference commonly imports these predicates,
+# so they exist with the truthful single-backend answers.
+
+def has_cuda_and_cupy() -> bool:
+    """Always False: this build targets TPU via JAX (reference
+    utils.py:34-35 probes CUDA+cupy)."""
+    return False
+
+
+def is_cupy_array(arr) -> bool:
+    """Always False (reference utils.py:42-43)."""
+    return False
+
+
+def has_dask_array() -> bool:
+    """Always False: distribution happens via jax.sharding meshes, not
+    dask (reference utils.py:46-47)."""
+    return False
+
+
+def has_dask_dataframe() -> bool:
+    """Always False (reference utils.py:50-51)."""
+    return False
+
+
+def is_cupy_backed(agg) -> bool:
+    """Always False (reference utils.py:90-95)."""
+    return False
+
+
+def is_dask_cupy(agg) -> bool:
+    """Always False (reference utils.py:98-103)."""
+    return False
+
+
+def cuda_args(shape):
+    """Unavailable: there is no CUDA launch geometry on TPU; kernels are
+    Pallas/XLA programs (reference utils.py:58-87)."""
+    raise NotImplementedError(
+        "cuda_args is not applicable to the TPU backend: compiled "
+        "kernels are Pallas/XLA programs with no CUDA launch geometry.")
+
+
+def calc_cuda_dims(shape):
+    """Unavailable on TPU — see cuda_args (reference utils.py:58-87)."""
+    raise NotImplementedError(
+        "calc_cuda_dims is not applicable to the TPU backend.")
+
+
+def not_implemented_func(agg, *args, messages='Not yet implemented.'):
+    """Raise NotImplementedError (reference utils.py:113-114)."""
+    raise NotImplementedError(messages)
+
+
+def bands_to_img(r, g, b, nodata=1):
+    """Combine three band rasters into an RGBA uint32 image.
+
+    Reference utils.py:363-371 returns a datashader ``tf.Image``;
+    datashader is not a dependency here, so the packed RGBA image is
+    returned as a uint32 DataArray (the same array a datashader Image
+    wraps).  Alpha is 0 where the red band is NaN or <= nodata, else
+    255.
+    """
+    r = np.asarray(r, dtype=np.float64)
+    g = np.asarray(g, dtype=np.float64)
+    b = np.asarray(b, dtype=np.float64)
+    with np.errstate(invalid="ignore"):
+        a = np.where(np.logical_or(np.isnan(r), r <= nodata), 0, 255)
+        data = (r.astype(np.uint32) & 0xFF) \
+            | (g.astype(np.uint32) & 0xFF) << 8 \
+            | (b.astype(np.uint32) & 0xFF) << 16 \
+            | a.astype(np.uint32) << 24
+    return DataArray(data, dims=("y", "x"), name="image")
+
+
+# minimal CSS color table for color_values (the reference delegates to
+# datashader.colors.rgb; these cover its documented examples)
+_CSS_COLORS = {
+    "black": (0, 0, 0), "white": (255, 255, 255), "red": (255, 0, 0),
+    "green": (0, 128, 0), "lime": (0, 255, 0), "blue": (0, 0, 255),
+    "yellow": (255, 255, 0), "cyan": (0, 255, 255), "aqua": (0, 255, 255),
+    "magenta": (255, 0, 255), "fuchsia": (255, 0, 255),
+    "gray": (128, 128, 128), "grey": (128, 128, 128),
+    "silver": (192, 192, 192), "maroon": (128, 0, 0),
+    "olive": (128, 128, 0), "navy": (0, 0, 128), "teal": (0, 128, 128),
+    "purple": (128, 0, 128), "orange": (255, 165, 0),
+    "brown": (165, 42, 42), "pink": (255, 192, 203),
+}
+
+
+def _rgb(c):
+    """(r, g, b) from a color name, '#rrggbb' hex string, or 3-tuple
+    (subset of datashader.colors.rgb the reference relies on)."""
+    if isinstance(c, (tuple, list)) and len(c) == 3:
+        return tuple(int(v) for v in c)
+    if isinstance(c, str):
+        s = c.strip().lower()
+        if s.startswith("#") and len(s) == 7:
+            return tuple(int(s[i:i + 2], 16) for i in (1, 3, 5))
+        if s in _CSS_COLORS:
+            return _CSS_COLORS[s]
+    raise ValueError(f"don't know how to convert color {c!r}")
+
+
+def color_values(agg, color_key, alpha=255):
+    """Color a categorical aggregate by a value->color mapping.
+
+    Reference utils.py:445-452 (returns a datashader ``tf.Image``; here
+    the packed RGBA uint32 raster is returned as a DataArray — values
+    missing from ``color_key`` map to 0, i.e. transparent).
+    """
+    data = np.asarray(agg.data if isinstance(agg, DataArray) else agg)
+    out = np.zeros(data.shape, dtype=np.uint32)
+    for val, color in color_key.items():
+        r, g, b = _rgb(color)
+        packed = np.uint32(r | (g << 8) | (b << 16) | (alpha << 24))
+        out = np.where(data == val, packed, out)
+    return DataArray(out, dims=("y", "x")[:out.ndim], name="image")
