@@ -112,8 +112,9 @@ def _nanpercentile(data, p_np):
     full lax.sort costs ~70 ms at 16.7M elements), else the jnp path."""
     from .kernels.selection import (nanpercentile_select,
                                     use_radix_percentile)
+    from .parallel.halo import get_raster_mesh
     p_np = np.asarray(p_np, dtype=np.float32)
-    if use_radix_percentile(data.size):
+    if use_radix_percentile(data.size) and get_raster_mesh(data) is None:
         return nanpercentile_select(_finite_or_nan(data).ravel(),
                                     jnp.asarray(p_np), int(p_np.size))
     return _nanpercentile_jit(data, jnp.asarray(p_np))

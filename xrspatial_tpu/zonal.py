@@ -33,7 +33,6 @@ _DEFAULT_STATS_NAMES = ["mean", "max", "min", "sum", "std", "var", "count",
 # max distinct float categories fetched via device gather (beyond this a
 # raster is continuous-valued, and big gathers are pathological on TPU)
 _UNIQUE_GATHER_CAP = 65536
-_TOTAL_COUNT = "total_count"
 
 
 # ---------------------------------------------------------------------------
