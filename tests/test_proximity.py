@@ -203,8 +203,11 @@ def test_manhattan_scan_transform_exactness():
     from xrspatial_tpu.kernels import jfa
 
     rng = np.random.default_rng(11)
+    # one fixed shape across trials: each distinct (h, w) recompiles the
+    # scan transform (x3 payload modes), and 18 CPU compiles cost ~50 s;
+    # coords/masks/payloads still vary per trial
+    h, w = 23, 37
     for trial in range(6):
-        h, w = rng.integers(4, 40, 2)
         mask = rng.random((h, w)) < 0.06
         if mask.sum() == 0:
             mask[rng.integers(h), rng.integers(w)] = True
