@@ -187,6 +187,33 @@ def parity_checks():
     tg["x"] = np.arange(n2, dtype=float)
     check("proximity/pallas_jfa", lambda: proximity(tg).data, atol=1e-3)
 
+    # great-circle Pallas JFA (polynomial trig, kernels/pallas_jfa.py)
+    # vs the XLA-trig scan twin; rtol bounds the polynomial approx
+    # (tests/test_proximity.py great-circle contract is rtol 2e-4)
+    gcd = DataArray(tg.data, dims=("y", "x"))
+    gcd["x"] = np.linspace(-170.0, 170.0, n2)
+    gcd["y"] = np.linspace(75.0, -75.0, n2)
+    check("proximity_gc/pallas_jfa",
+          lambda: proximity(gcd, distance_metric="GREAT_CIRCLE").data,
+          atol=1.0, rtol=2e-4)
+
+    # radix-select percentiles vs jnp.nanpercentile: the claim is
+    # bit-identical (kernels/selection.py), so assert exact equality
+    try:
+        from xrspatial_tpu.kernels.selection import nanpercentile_select
+        p = jnp.asarray(np.float32([20.0, 40.0, 60.0, 80.0, 100.0]))
+        v = dem.ravel()  # 2048^2 = 2^22 elements: inside the radix regime
+        a = np.asarray(nanpercentile_select(v, p, 5))
+        b = np.asarray(jnp.nanpercentile(v, p))
+        results["percentile/radix_select"] = bool(np.array_equal(a, b))
+        if not results["percentile/radix_select"]:
+            print(f"# parity FAIL percentile/radix_select: {a} vs {b}",
+                  file=sys.stderr)
+    except Exception as e:
+        print(f"# parity ERROR percentile/radix_select: "
+              f"{type(e).__name__}: {e}", file=sys.stderr)
+        results["percentile/radix_select"] = False
+
     # MXU one-hot matmul zonal stats vs a float64 host oracle
     def zonal_check():
         zones_np = np.asarray(
