@@ -166,6 +166,35 @@ def test_exact_bucket_bitwise_vs_pairwise(shape, vp):
     np.testing.assert_array_equal(pw, ex)
 
 
+def test_f64_reeval_paths_bitwise_equal():
+    """The two f64 re-eval runners the ambiguous-target gate routes
+    between — full-table upload vs host-gathered (A, E) slices — must
+    be bit-identical: same candidate supersets, same predicate, only
+    the transport differs (viewshed_exact._screened_visibility)."""
+    from xrspatial_tpu.kernels.viewshed import cell_attrs_host
+    from xrspatial_tpu.kernels import viewshed_exact as VE
+    from xrspatial_tpu.utils import x64
+    rng = np.random.default_rng(5)
+    data = (rng.random((40, 56)) * 60).astype(np.float64)
+    data[13, :] += 120.0
+    flat = rng.integers(0, data.size, 10)
+    data[np.unravel_index(flat, data.shape)] = np.nan
+    at = cell_attrs_host(data, 12, 30, 3.0, 0.5, 1.5, -1.0)
+    cache = VE._tier_cache(at, 12, 30)
+    # a strided target subset, padded exactly like the production
+    # re-eval pads the ambiguous set
+    sub = np.arange(0, at["a1"].size, 7, dtype=np.int64)
+    L = 1 << (max(int(sub.size), 128) - 1).bit_length()
+    sub = np.pad(sub, (0, L - sub.size), mode="edge")
+    tperm, glob_i, tiers, A, C = VE._bucket_plan(at, 12, 30, 128,
+                                                 targets=sub, cache=cache)
+    with x64():
+        via_tables = VE._run_buckets_f64(at, tperm, glob_i, tiers, A, C)
+        via_gather = VE._run_buckets_f64_gathered(at, tperm, glob_i,
+                                                  tiers, A, C)
+    np.testing.assert_array_equal(via_tables, via_gather)
+
+
 def test_default_path_is_exact_above_old_cliff():
     """300x300 (beyond the old 256^2 exactness cliff) must now take the
     exact path by default: output equals the exact kernel's."""

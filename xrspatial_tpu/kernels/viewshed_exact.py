@@ -93,12 +93,12 @@ def _blocker_table_screen(at, idx):
     return {f: jnp.asarray(v) for f, v in tab.items()}
 
 
-def _bucket_plan(at, vp_row, vp_col, C, targets=None):
-    """Host-side plan: target permutation, tier tables, slice offsets.
-
-    ``targets`` restricts the TARGET side to a subset of cell indices
-    (used for the f64 re-evaluation of screen-ambiguous targets); the
-    candidate tiers always cover every cell."""
+def _tier_cache(at, vp_row, vp_col):
+    """Target-independent half of the plan: the near/crossing global
+    candidate set and per-tier angle-sorted cell tables.  Computed once
+    per (raster, viewpoint) and shared between the f32 screen plan and
+    the f64 re-evaluation plan (the per-tier argsorts over all N cells
+    are the expensive part of planning)."""
     n = at["a1"].size
     h, w = at["shape"]
     a1 = at["a1"]
@@ -106,8 +106,37 @@ def _bucket_plan(at, vp_row, vp_col, C, targets=None):
     rows, cols = np.divmod(np.arange(n), w)
     rho = np.hypot(rows - vp_row, cols - vp_col)
 
+    glob_mask = (rho <= _TIER_BOUNDS[0]) | crossing
+    glob_idx = np.nonzero(glob_mask)[0]
+
+    tier_list = []
+    bounds = [b for b in _TIER_BOUNDS if b < rho.max()] + [np.inf]
+    for r_lo, r_hi in zip(bounds[:-1], bounds[1:]):
+        mask = (rho > r_lo) & (rho <= r_hi) & ~crossing
+        tidx = np.nonzero(mask)[0]
+        if tidx.size == 0:
+            continue
+        W = asin(min(1.0, 0.7071067811865476 / r_lo)) + _W_EPS
+        order = np.argsort(a1[tidx], kind="stable")
+        tidx = tidx[order]
+        tier_list.append((tidx, a1[tidx], W))
+    return glob_idx, tier_list
+
+
+def _bucket_plan(at, vp_row, vp_col, C, targets=None, cache=None):
+    """Host-side plan: target permutation, tier tables, slice offsets.
+
+    ``targets`` restricts the TARGET side to a subset of cell indices
+    (used for the f64 re-evaluation of screen-ambiguous targets); the
+    candidate tiers always cover every cell.  ``cache`` (from
+    `_tier_cache`) skips recomputing the target-independent tier sorts."""
+    a1 = at["a1"]
+    if cache is None:
+        cache = _tier_cache(at, vp_row, vp_col)
+    glob_idx, tier_list = cache
+
     if targets is None:
-        targets = np.arange(n, dtype=np.int64)
+        targets = np.arange(a1.size, dtype=np.int64)
     n_t = targets.size
     C = min(C, n_t)
     A = -(-n_t // C)
@@ -119,20 +148,8 @@ def _bucket_plan(at, vp_row, vp_col, C, targets=None):
     starts = a1s[lo_t]
     ends = a1s[lo_t + C - 1]
 
-    glob_mask = (rho <= _TIER_BOUNDS[0]) | crossing
-    glob_idx = np.nonzero(glob_mask)[0]
-
     tiers = []
-    bounds = [b for b in _TIER_BOUNDS if b < rho.max()] + [np.inf]
-    for r_lo, r_hi in zip(bounds[:-1], bounds[1:]):
-        mask = (rho > r_lo) & (rho <= r_hi) & ~crossing
-        tidx = np.nonzero(mask)[0]
-        if tidx.size == 0:
-            continue
-        W = asin(min(1.0, 0.7071067811865476 / r_lo)) + _W_EPS
-        order = np.argsort(a1[tidx], kind="stable")
-        tidx = tidx[order]
-        ta1 = a1[tidx]
+    for tidx, ta1, W in tier_list:
         los = np.searchsorted(ta1, starts - W, side="left")
         his = np.searchsorted(ta1, ends + W, side="right")
         # next power of two: the eval-block shapes come from E, so a
@@ -156,9 +173,11 @@ def viewshed_grid_exact(data, vp_row: int, vp_col: int,
     import os
     from ..utils import x64
     chunk = int(os.environ.get("XRSPATIAL_VS_EXACT_CHUNK", chunk))
+    mark = _phase_timer()
     data_np = np.asarray(data, dtype=np.float64)
     at = cell_attrs_host(data_np, vp_row, vp_col, observer_elev,
                          target_elev, ew_res, ns_res)
+    mark("attrs")
     h, w = at["shape"]
     n = h * w
 
@@ -217,6 +236,82 @@ def _build_tables(at, glob_idx, tiers, make_table):
     return glob, tier_tabs, tier_los
 
 
+@partial(jax.jit, static_argnames=("offs",))
+def _carve(packed, offs):
+    """One dispatch that slices the per-field upload back into the
+    [glob, tier...] tables (eager per-field slices would each pay a
+    tunnel dispatch)."""
+    return tuple(
+        {f: jax.lax.slice_in_dim(v, offs[i], offs[i + 1])
+         for f, v in packed.items()}
+        for i in range(len(offs) - 1))
+
+
+def _run_buckets_f64_gathered(at, tperm, glob_idx, tiers, A, C,
+                              mark=lambda label: None):
+    """Float64 bucket evaluation for a SMALL target subset: instead of
+    uploading full per-tier f64 tables (O(N) device bytes — the old
+    re-eval cost more than the whole screen), gather on the host ONLY
+    the (A, E) candidate slices each bucket actually reads, flatten them
+    to (A*E,) concatenated blocks, and hand the unchanged scan kernel
+    stride-E offsets.  Identical candidate supersets + identical
+    predicate => bit-identical visibility."""
+    # build EVERY table host-side first, then upload each field ONCE as
+    # a concatenation of [glob, tier1, tier2, ...] and carve it back up
+    # with static device slices: ~90 per-field uploads at ~10 ms tunnel
+    # roundtrip each were most of this path's cost
+    host_tabs = []
+
+    def _host_tab(flat, valid, idx):
+        tab = {f: at[f][flat] for f in _PLANES}
+        tab["valid_b"] = valid
+        tab["idx"] = idx
+        return tab
+
+    gpad = _round_up(glob_idx.size, 1024)
+    gext = np.pad(glob_idx, (0, gpad - glob_idx.size))
+    host_tabs.append(_host_tab(
+        gext, np.pad(at["valid_b"][glob_idx],
+                     (0, gpad - glob_idx.size)),
+        np.pad(glob_idx.astype(np.int64), (0, gpad - glob_idx.size),
+               constant_values=-1)))
+    Es = []
+    for tidx, los, E in tiers:
+        # same clamp semantics as _build_tables: slices stay in-bounds
+        # of the padded table; pad rows are invalid (filtered by the
+        # predicate), clamp-overlap extras fail the cover test
+        los = np.minimum(np.maximum(los, 0), max(tidx.size - E, 0))
+        pos = los[:, None] + np.arange(E)[None, :]
+        flat = tidx[np.minimum(pos, tidx.size - 1)].ravel()
+        inb = (pos < tidx.size).ravel()
+        host_tabs.append(_host_tab(
+            flat, at["valid_b"][flat] & inb,
+            np.where(inb, flat, -1).astype(np.int64)))
+        Es.append(E)
+    mark("reeval/host-gather")
+
+    lens = [t["idx"].size for t in host_tabs]
+    offs = tuple(int(o) for o in np.cumsum([0] + lens))
+    packed = {f: jnp.asarray(np.concatenate([t[f] for t in host_tabs]))
+              for f in host_tabs[0]}
+    dev_tabs = _carve(packed, offs)
+    mark("reeval/upload+carve")
+
+    tgt = {
+        "a1": jnp.asarray(at["a1"][tperm]),
+        "key": jnp.asarray(at["key"][tperm]),
+        "grad_t": jnp.asarray(at["grad_t"][tperm]),
+        "idx": jnp.asarray(tperm.astype(np.int64)),
+    }
+    tier_tabs = [(tab, E) for tab, E in zip(dev_tabs[1:], Es)]
+    tier_los = [jnp.asarray((np.arange(A, dtype=np.int64) * E)
+                            .astype(np.int32)) for E in Es]
+    vis = _eval_buckets_run(tgt, dev_tabs[0], tier_tabs, tier_los, A, C)
+    out = np.asarray(vis).ravel()
+    mark("reeval/eval+fetch")
+    return out
+
+
 def _run_buckets_f64(at, tperm, glob_idx, tiers, A, C):
     """The float64 bucket evaluation over `tperm` targets (flat bool)."""
     tgt = {
@@ -229,6 +324,24 @@ def _run_buckets_f64(at, tperm, glob_idx, tiers, A, C):
                                               _blocker_table)
     vis = _eval_buckets_run(tgt, glob, tier_tabs, tier_los, A, C)
     return np.asarray(vis).ravel()
+
+
+def _phase_timer():
+    """Env-gated phase timing (XRSPATIAL_VS_TIMING=1): prints wall time
+    of each exact-viewshed phase to stderr for perf diagnosis."""
+    import os
+    import sys
+    import time
+    if os.environ.get("XRSPATIAL_VS_TIMING") != "1":
+        return lambda label: None
+    state = {"t": time.perf_counter()}
+
+    def mark(label):
+        now = time.perf_counter()
+        print(f"# vs_exact {label}: {now - state['t']:.3f}s",
+              file=sys.stderr, flush=True)
+        state["t"] = now
+    return mark
 
 
 def _screened_visibility(at, vp_row, vp_col, chunk):
@@ -245,8 +358,12 @@ def _screened_visibility(at, vp_row, vp_col, chunk):
     by less than 1e-4 while the f32 evaluation deviates < 1e-6
     (tools/exp notes in BENCH_NOTES round 3)."""
     from ..utils import x64
+    mark = _phase_timer()
     n = at["a1"].size
-    tperm, glob_idx, tiers, A, C = _bucket_plan(at, vp_row, vp_col, chunk)
+    cache = _tier_cache(at, vp_row, vp_col)
+    tperm, glob_idx, tiers, A, C = _bucket_plan(at, vp_row, vp_col, chunk,
+                                                cache=cache)
+    mark("plan")
     tgt32 = {
         "a1": jnp.asarray(at["a1"][tperm].astype(np.float32)),
         "key": jnp.asarray(at["key"][tperm].astype(np.float32)),
@@ -254,10 +371,12 @@ def _screened_visibility(at, vp_row, vp_col, chunk):
     }
     glob, tier_tabs, tier_los = _build_tables(at, glob_idx, tiers,
                                               _blocker_table_screen)
+    mark("tables")
     hi, lo = _eval_buckets_screen_run(tgt32, glob, tier_tabs, tier_los,
                                       A, C)
     hi = np.asarray(hi).ravel().astype(np.float64)
     lo = np.asarray(lo).ravel().astype(np.float64)
+    mark("screen+fetch")
 
     gt32 = at["grad_t"][tperm].astype(np.float32).astype(np.float64)
     tau_g = 1e-6
@@ -282,11 +401,30 @@ def _screened_visibility(at, vp_row, vp_col, chunk):
         L = 1 << (max(int(amb_idx.size), 128) - 1).bit_length()
         sub = np.pad(amb_idx, (0, L - amb_idx.size), mode="edge")
         tperm_a, glob_i, tiers_a, A_a, C_a = _bucket_plan(
-            at, vp_row, vp_col, min(chunk, 128), targets=sub)
+            at, vp_row, vp_col, min(chunk, 128), targets=sub,
+            cache=cache)
+        mark("reeval/plan")
+        # route by data volume: the gathered path moves A*sum(E)
+        # elements (host fancy-gather + upload), the table path the
+        # full padded tiers (~n).  Few ambiguous targets -> gathered
+        # wins (38 targets at 1024^2: 2.5 s -> 0.9 s); many -> the
+        # A*E slices dwarf the tables (2048^2: gathered-everywhere
+        # measured 38 s of re-eval vs ~7 s for tables).  Both paths
+        # evaluate identical candidate supersets with the identical
+        # f64 predicate => bit-identical either way.
+        gath_elems = sum(A_a * E for _, _, E in tiers_a)
+        tab_elems = sum(max(E, _round_up(tidx.size, 16384))
+                        for tidx, _, E in tiers_a)
         with x64():
-            vis_a = _run_buckets_f64(at, tperm_a, glob_i, tiers_a,
-                                     A_a, C_a)
+            if gath_elems < tab_elems:
+                vis_a = _run_buckets_f64_gathered(at, tperm_a, glob_i,
+                                                  tiers_a, A_a, C_a,
+                                                  mark=mark)
+            else:
+                vis_a = _run_buckets_f64(at, tperm_a, glob_i, tiers_a,
+                                         A_a, C_a)
         visible[tperm_a] = vis_a
+    mark("reeval")
     return visible
 
 
