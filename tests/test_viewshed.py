@@ -166,6 +166,60 @@ def test_exact_bucket_bitwise_vs_pairwise(shape, vp):
     np.testing.assert_array_equal(pw, ex)
 
 
+@pytest.mark.parametrize("vp", [(10, 20), (0, 0), (39, 55), (0, 30),
+                                (17, 0), (39, 12), (20, 55)])
+def test_attrs_fast_paths_bitwise(vp):
+    """cell_attrs_host's slab-written numpy fast paths must be
+    BIT-IDENTICAL to the generic xp= helper formulations (the quadrant
+    masks are axis-aligned rectangles; all coordinates are exact
+    half-integers, so no rounding differs).  Covers interior, corner,
+    and edge viewpoints."""
+    from xrspatial_tpu.kernels import viewshed as V
+    rng = np.random.default_rng(vp[0] * 100 + vp[1])
+    h, w = 40, 56
+    data = (rng.random((h, w)) * 80).astype(np.float64)
+    data[np.unravel_index(rng.integers(0, data.size, 15), data.shape)] \
+        = np.nan
+    vr, vc = vp
+    rows = np.arange(h, dtype=np.float64)[:, None] + np.zeros((1, w))
+    cols = np.arange(w, dtype=np.float64)[None, :] + np.zeros((h, 1))
+    vp_r, vp_c = np.float64(vr), np.float64(vc)
+
+    ref_offs = V._corner_offsets(rows, cols, vp_r, vp_c, xp=np)
+    fast_offs = V._corner_offsets_np(h, w, vr, vc)
+    for r, f in zip(ref_offs, fast_offs):
+        np.testing.assert_array_equal(r, f)
+
+    e_dy, e_dx, x_dy, x_dx = ref_offs
+    np.testing.assert_array_equal(
+        V._corner_elev(data, e_dy, e_dx, xp=np),
+        V._corner_elev_np(data, vr, vc, enter=True))
+    np.testing.assert_array_equal(
+        V._corner_elev(data, x_dy, x_dx, xp=np),
+        V._corner_elev_np(data, vr, vc, enter=False))
+
+    with np.errstate(invalid="ignore"):
+        np.testing.assert_array_equal(
+            V._calculate_angle(cols + e_dx, rows + e_dy, vp_c, vp_r,
+                               xp=np),
+            V._calculate_angle_np(rows + e_dy - vp_r, cols + e_dx - vp_c))
+        np.testing.assert_array_equal(
+            V._calculate_angle(cols, rows, vp_c, vp_r, xp=np),
+            V._calculate_angle_np(rows - vp_r, cols - vp_c))
+        vp_elev = data[vr, vc] + 7.0
+        np.testing.assert_array_equal(
+            V._gradient(rows - vp_r, cols - vp_c, data, vp_elev,
+                        1.25, -0.75, xp=np),
+            V._gradient_np(rows - vp_r, cols - vp_c, data, vp_elev,
+                           1.25, -0.75, (vr, vc)))
+        enter_elev = V._corner_elev_np(data, vr, vc, enter=True)
+        np.testing.assert_array_equal(
+            V._gradient(rows + e_dy - vp_r, cols + e_dx - vp_c,
+                        enter_elev, vp_elev, 1.25, -0.75, xp=np),
+            V._gradient_np(rows + e_dy - vp_r, cols + e_dx - vp_c,
+                           enter_elev, vp_elev, 1.25, -0.75, (vr, vc)))
+
+
 def test_f64_reeval_paths_bitwise_equal():
     """The two f64 re-eval runners the ambiguous-target gate routes
     between — full-table upload vs host-gathered (A, E) slices — must

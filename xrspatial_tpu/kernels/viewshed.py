@@ -106,6 +106,122 @@ def _corner_offsets(rows, cols, vp_row, vp_col, xp=jnp):
     return e_dy, e_dx, x_dy, x_dx
 
 
+def _np_rects(h, w, vp_row, vp_col):
+    """The 3x3 rectangle partition of the grid around the viewpoint:
+    row bands [0, vp), [vp, vp+1), (vp, h) x same for columns.  Every
+    quadrant mask in the attrs helpers is a union of these rectangles,
+    so the host fast paths below can replace full-array `where` chains
+    (~30 memory passes at 2048^2, the real cost — numpy's arctan of
+    4.2M cells is only ~20 ms) with slab writes, bit-identically."""
+    r = (slice(0, vp_row), slice(vp_row, vp_row + 1), slice(vp_row + 1, h))
+    c = (slice(0, vp_col), slice(vp_col, vp_col + 1), slice(vp_col + 1, w))
+    return r, c
+
+
+def _calculate_angle_np(drows, dcols):
+    """Host fast path of `_calculate_angle` — identical values, masked
+    writes instead of the 9-deep where chain.  ``drows``/``dcols`` are
+    ey - vy and ex - vx; all quantities are exact half-integers in f64
+    so the pre-subtraction loses nothing."""
+    h, w = drows.shape
+    ex_eq = dcols == 0.0
+    ang = np.arctan(np.abs(drows) / np.where(ex_eq, 1.0, np.abs(dcols)))
+
+    out = np.zeros((h, w), dtype=np.float64)
+    q1 = (dcols > 0) & (drows < 0)
+    q2 = (dcols < 0) & (drows < 0)
+    q3 = (dcols < 0) & (drows > 0)
+    q4 = (dcols > 0) & (drows > 0)
+    out[q1] = ang[q1]
+    out[q2] = PI - ang[q2]
+    out[q3] = PI + ang[q3]
+    out[q4] = 2.0 * PI - ang[q4]
+    out[ex_eq & (drows < 0)] = PI / 2.0
+    out[ex_eq & (drows > 0)] = 3.0 * PI / 2.0
+    ey_eq = drows == 0.0
+    out[ey_eq & (dcols > 0)] = 0.0
+    out[ey_eq & (dcols < 0)] = PI
+    out[ex_eq & ey_eq] = 0.0
+    return out
+
+
+def _corner_offsets_np(h, w, vp_row, vp_col):
+    """Host fast path of `_corner_offsets`: the quadrant table written
+    as 9 rectangle slabs per plane (bit-identical constants)."""
+    r, c = _np_rects(h, w, vp_row, vp_col)
+    planes = []
+    # per-plane constants in (north, same_row, south) x (west, same_col,
+    # east) order, transcribed from the generic where chain
+    tables = (
+        ((-0.5, 0.5, 0.5), (-0.5, 0.0, 0.5), (-0.5, -0.5, 0.5)),   # e_dy
+        ((0.5, 0.5, 0.5), (0.5, 0.0, -0.5), (-0.5, -0.5, -0.5)),   # e_dx
+        ((0.5, 0.5, -0.5), (0.5, 0.0, -0.5), (0.5, -0.5, -0.5)),   # x_dy
+        ((-0.5, -0.5, -0.5), (0.5, 0.0, -0.5), (0.5, 0.5, 0.5)),   # x_dx
+    )
+    for tab in tables:
+        plane = np.empty((h, w), dtype=np.float64)
+        for i in range(3):
+            for j in range(3):
+                plane[r[i], c[j]] = tab[i][j]
+        planes.append(plane)
+    return tuple(planes)
+
+
+def _corner_elev_np(data, vp_row, vp_col, enter):
+    """Host fast path of `_corner_elev`: the (sy, sx) selection masks
+    are a 4-rectangle pinwheel around the viewpoint, so the 4-neighbor
+    corner average is computed once per cell on its own slab (the
+    generic path evaluates it 4x over the full array and selects).
+    ``enter`` picks the enter- vs exit-corner pinwheel orientation."""
+    h, w = data.shape
+    p = np.pad(data, 1, constant_values=np.nan)
+    out = data.copy()  # covers the viewpoint cell (zero offsets)
+    vr, vc = vp_row, vp_col
+    if enter:
+        # (sy,sx) -> rect: NW+W, N+NE, E+SE, S+SW
+        rects = (((-1, 1), (0, vr + 1, 0, vc)),
+                 ((1, 1), (0, vr, vc, w)),
+                 ((1, -1), (vr, h, vc + 1, w)),
+                 ((-1, -1), (vr + 1, h, 0, vc + 1)))
+    else:
+        # exit corner: NW+N, NE+E, SE+S, SW+W
+        rects = (((1, -1), (0, vr, 0, vc + 1)),
+                 ((-1, -1), (0, vr + 1, vc + 1, w)),
+                 ((-1, 1), (vr + 1, h, vc, w)),
+                 ((1, 1), (vr, h, 0, vc)))
+    for (sy, sx), (r0, r1, c0, c1) in rects:
+        if r0 >= r1 or c0 >= c1:
+            continue
+        center = data[r0:r1, c0:c1]
+        diag = p[1 + sy + r0:1 + sy + r1, 1 + sx + c0:1 + sx + c1]
+        vert = p[1 + sy + r0:1 + sy + r1, 1 + c0:1 + c1]
+        horiz = p[1 + r0:1 + r1, 1 + sx + c0:1 + sx + c1]
+        avg = (diag + vert + horiz + center) / 4.0
+        out[r0:r1, c0:c1] = np.where(np.isnan(avg), center, avg)
+    return out
+
+
+def _gradient_np(dy_px, dx_px, elev, vp_elev, ew_res, ns_res, vp_cell):
+    """Host fast path of `_gradient`: same formula evaluated with
+    in-place ufuncs, the d2 == 0 guard applied as a scalar fix at
+    ``vp_cell`` — for every caller the pixel offsets are zero ONLY at
+    the viewpoint (corner offsets are +-0.5 everywhere else), so the
+    generic path's two full-array wheres reduce to one cell."""
+    diff = elev - vp_elev
+    d2 = dx_px * ew_res
+    d2 *= d2
+    t = dy_px * ns_res
+    t *= t
+    d2 += t
+    r, c = vp_cell
+    d2[r, c] = 1.0
+    np.sqrt(d2, out=d2)
+    np.divide(diff, d2, out=d2)
+    grad = np.arctan(d2, out=d2)
+    grad[r, c] = np.sign(diff[r, c]) * (PI / 2.0)
+    return grad
+
+
 def _corner_elev(data, dy_sign, dx_sign, xp=jnp):
     """Mean of the 4 cells sharing the corner at (row+dy, col+dx); falls
     back to the cell's own value when any of the 4 is OOB/NaN
@@ -228,35 +344,48 @@ def cell_attrs_host(data_np, vp_row: int, vp_col: int, observer_elev: float,
     """
     data = np.asarray(data_np, dtype=np.float64)
     h, w = data.shape
-    rows = np.arange(h, dtype=np.float64)[:, None] + np.zeros((1, w))
-    cols = np.arange(w, dtype=np.float64)[None, :] + np.zeros((h, 1))
-    vp_r = np.float64(vp_row)
-    vp_c = np.float64(vp_col)
     vp_elev = data[vp_row, vp_col] + observer_elev
 
-    e_dy, e_dx, x_dy, x_dx = _corner_offsets(rows, cols, vp_r, vp_c, xp=np)
-    enter_elev = _corner_elev(data, e_dy, e_dx, xp=np)
-    exit_elev = _corner_elev(data, x_dy, x_dx, xp=np)
+    # every coordinate below is an exact half-integer in f64, so the
+    # slab-written fast paths (_*_np) produce bit-identical values to
+    # the generic xp= helpers regardless of association order — pinned
+    # by tests/test_viewshed.py::test_attrs_fast_paths_bitwise
+    dr = np.arange(h, dtype=np.float64) - np.float64(vp_row)
+    dc = np.arange(w, dtype=np.float64) - np.float64(vp_col)
+    drow = np.broadcast_to(dr[:, None], (h, w))
+    dcol = np.broadcast_to(dc[None, :], (h, w))
+
+    e_dy, e_dx, x_dy, x_dx = _corner_offsets_np(h, w, vp_row, vp_col)
+    enter_elev = _corner_elev_np(data, vp_row, vp_col, enter=True)
+    exit_elev = _corner_elev_np(data, vp_row, vp_col, enter=False)
+    # corner-relative coordinate grids (reuse the offset buffers)
+    e_dy += dr[:, None]
+    e_dx += dc[None, :]
+    x_dy += dr[:, None]
+    x_dx += dc[None, :]
 
     # angles: note _calculate_angle takes (x, y) with y as ROW index and
     # "north" = smaller row
     with np.errstate(invalid="ignore"):
-        a0 = _calculate_angle(cols + e_dx, rows + e_dy, vp_c, vp_r, xp=np)
-        a1 = _calculate_angle(cols, rows, vp_c, vp_r, xp=np)
-        a2 = _calculate_angle(cols + x_dx, rows + x_dy, vp_c, vp_r, xp=np)
+        a0 = _calculate_angle_np(e_dy, e_dx)
+        a1 = _calculate_angle_np(drow, dcol)
+        a2 = _calculate_angle_np(x_dy, x_dx)
 
-        g0 = _gradient(rows + e_dy - vp_r, cols + e_dx - vp_c, enter_elev,
-                       vp_elev, ew_res, ns_res, xp=np)
-        g1 = _gradient(rows - vp_r, cols - vp_c, data, vp_elev,
-                       ew_res, ns_res, xp=np)
-        g2 = _gradient(rows + x_dy - vp_r, cols + x_dx - vp_c, exit_elev,
-                       vp_elev, ew_res, ns_res, xp=np)
-        grad_t = _gradient(rows - vp_r, cols - vp_c, data + target_elev,
-                           vp_elev, ew_res, ns_res, xp=np)
+        vp_cell = (vp_row, vp_col)
+        g0 = _gradient_np(e_dy, e_dx, enter_elev, vp_elev, ew_res, ns_res,
+                          vp_cell)
+        g1 = _gradient_np(drow, dcol, data, vp_elev, ew_res, ns_res,
+                          vp_cell)
+        g2 = _gradient_np(x_dy, x_dx, exit_elev, vp_elev, ew_res, ns_res,
+                          vp_cell)
+        grad_t = _gradient_np(drow, dcol, data + target_elev,
+                              vp_elev, ew_res, ns_res, vp_cell)
 
-    key = ((cols - vp_c) * ew_res) ** 2 + ((rows - vp_r) * ns_res) ** 2
-    is_vp = (rows == vp_r) & (cols == vp_c)
-    valid_b = np.isfinite(g1) & ~is_vp
+    key = (dc * ew_res) ** 2 + ((dr * ns_res) ** 2)[:, None]
+    is_vp = np.zeros((h, w), dtype=bool)
+    is_vp[vp_row, vp_col] = True
+    valid_b = np.isfinite(g1)
+    valid_b[vp_row, vp_col] = False
     return {
         "key": key.ravel(), "a0": a0.ravel(), "a1": a1.ravel(),
         "a2": a2.ravel(), "g0": g0.ravel(), "g1": g1.ravel(),
