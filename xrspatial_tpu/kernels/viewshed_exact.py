@@ -56,10 +56,11 @@ def _round_up(x: int, m: int) -> int:
 
 
 def _blocker_table(at, idx):
-    """Device-side attribute table for the candidate cells `idx`."""
-    tab = {f: jnp.asarray(at[f][idx]) for f in _PLANES}
-    tab["valid_b"] = jnp.asarray(at["valid_b"][idx])
-    tab["idx"] = jnp.asarray(idx.astype(np.int64))
+    """Host-side f64 attribute table for the candidate cells `idx`
+    (uploaded packed by `_build_tables`)."""
+    tab = {f: at[f][idx] for f in _PLANES}
+    tab["valid_b"] = at["valid_b"][idx]
+    tab["idx"] = idx.astype(np.int64)
     return tab
 
 
@@ -90,7 +91,7 @@ def _blocker_table_screen(at, idx):
         "valid_b": at["valid_b"][idx],
         "idx": idx.astype(np.int32),
     }
-    return {f: jnp.asarray(v) for f, v in tab.items()}
+    return tab
 
 
 def _tier_cache(at, vp_row, vp_col):
@@ -204,7 +205,7 @@ def viewshed_grid_exact(data, vp_row: int, vp_col: int,
 
 
 def _pad_tab(tab, L):
-    """Pad a candidate table up to a coarse length quantum: table
+    """Pad a host candidate table up to a coarse length quantum: table
     lengths are compile-time shapes, so exact sizes would recompile on
     every viewpoint move; inert pad entries are filtered by the
     predicate (valid_b False -> -inf)."""
@@ -212,28 +213,38 @@ def _pad_tab(tab, L):
     if cur >= L:
         return tab
     pad = L - cur
-    return {f: jnp.pad(v, (0, pad),
-                       constant_values=(False if f in ("valid_b",
-                                                       "crossing")
-                                        else -1 if f == "idx"
-                                        else 0.0))
+    return {f: np.pad(v, (0, pad),
+                      constant_values=(False if f in ("valid_b",
+                                                      "crossing")
+                                       else -1 if f == "idx"
+                                       else 0.0))
             for f, v in tab.items()}
 
 
 def _build_tables(at, glob_idx, tiers, make_table):
-    glob = _pad_tab(make_table(at, glob_idx),
-                    _round_up(glob_idx.size, 1024))
-    tier_tabs = []
-    tier_los = []
+    """Build the [glob, tier...] candidate tables host-side and upload
+    each FIELD once as a packed concatenation, carved back into tables
+    with one jitted static-slice dispatch — per-table-per-field uploads
+    (13 fields x ~7 tables) each paid a ~10 ms tunnel roundtrip, which
+    dominated this phase."""
+    host = [_pad_tab(make_table(at, glob_idx),
+                     _round_up(glob_idx.size, 1024))]
+    metas = []
     for tidx, los, E in tiers:
         L = max(E, _round_up(tidx.size, 16384))
-        tab = _pad_tab(make_table(at, tidx), L)
+        host.append(_pad_tab(make_table(at, tidx), L))
         # clamp so the fixed-length slice stays in-bounds (extra
         # candidates from clamping are filtered by the cover test)
-        los = np.minimum(np.maximum(los, 0), L - E).astype(np.int32)
-        tier_tabs.append((tab, E))
-        tier_los.append(jnp.asarray(los))
-    return glob, tier_tabs, tier_los
+        metas.append((np.minimum(np.maximum(los, 0),
+                                 L - E).astype(np.int32), E))
+    offs = tuple(int(o) for o in
+                 np.cumsum([0] + [t["idx"].size for t in host]))
+    packed = {f: jnp.asarray(np.concatenate([t[f] for t in host]))
+              for f in host[0]}
+    dev = _carve(packed, offs)
+    tier_tabs = [(tab, E) for tab, (_, E) in zip(dev[1:], metas)]
+    tier_los = [jnp.asarray(los) for los, _ in metas]
+    return dev[0], tier_tabs, tier_los
 
 
 @partial(jax.jit, static_argnames=("offs",))
