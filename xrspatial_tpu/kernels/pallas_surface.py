@@ -55,9 +55,19 @@ def _atan(x):
 
 
 def _atan2(y, x):
-    """float32 atan2 from _atan with quadrant corrections."""
+    """float32 atan2 from _atan with quadrant corrections.
+
+    The ratio is y * (1/x), not y / x: Mosaic's reciprocal lowering is
+    measurably cheaper than its generic divide (aspect 16k^2 8.9 ->
+    8.6 ms, tools/exp_divides.py; a min/max range-reduction variant
+    with ONE division was tried and LOSES, 9.8 ms — the extra
+    abs/min/max/select lattice costs more than the divide it saves).
+    Trade-off: when BOTH |x| and |y| are below ~1e-38 (subnormal
+    gradients, unreachable for real DEM data), 1/x overflows and the
+    result saturates to +-pi/2 where y/x would give a mid-quadrant
+    angle; maxdiff vs the XLA twin on terrain data is 3.1e-5 deg."""
     safe_x = jnp.where(x == 0.0, 1.0, x)
-    base = _atan(y / safe_x)
+    base = _atan(y * (1.0 / safe_x))
     pi = jnp.float32(jnp.pi)
     out = jnp.where(
         x > 0.0, base,
@@ -67,6 +77,28 @@ def _atan2(y, x):
                             jnp.where(y < 0.0, -HALF_PI, 0.0))))
     # NaN inputs fall through every comparison to the 0.0 branch — restore
     return jnp.where(jnp.isnan(x) | jnp.isnan(y), jnp.nan, out)
+
+
+def _atan_of_sqrt(s):
+    """atan(sqrt(s)) for s >= 0 with ONE rsqrt and no divide/sqrt.
+
+    The |t|<=1 range reduction of _atan needs t = sqrt(s) or 1/sqrt(s);
+    a vectorized select evaluates both sides on every lane, so instead
+    of paying sqrt AND rsqrt the small branch reuses the rsqrt:
+    sqrt(s) == s * rsqrt(s) up to ~1 extra ulp (slope maxdiff vs the
+    XLA twin 1.9e-5 deg on chip, gate 5e-4; 16k^2 5.21 -> 4.89 ms,
+    tools/exp_atan_rsqrt.py).  The max(s, 1e-30) keeps s == 0 finite
+    (0 * inf would be NaN).  Same minimax polynomial as _atan."""
+    big = s > 1.0
+    rs = jax.lax.rsqrt(jnp.maximum(s, 1e-30))
+    t = jnp.where(big, rs, s * rs)
+    t2 = t * t
+    p = jnp.float32(-0.0040540580)
+    for c in (0.0218612288, -0.0559098861, 0.0964200441, -0.1390853351,
+              0.1994653599, -0.3332985605, 0.9999993329):
+        p = p * t2 + jnp.float32(c)
+    r = t * p
+    return jnp.where(big, HALF_PI - r, r)
 
 
 def _round_up(x, m):
@@ -104,12 +136,12 @@ def _make_kernel(which, th, tw, sh, sw, gi, gj):
 
             for k, stat in enumerate(which):
                 if stat == "slope":
-                    gx = dzdx8 / (8.0 * csx)
-                    gy = dzdy8 / (8.0 * csy)
-                    out_ref[k] = _atan(jnp.sqrt(gx * gx + gy * gy)) * DEG
+                    gx = dzdx8 * (0.125 / csx)
+                    gy = dzdy8 * (0.125 / csy)
+                    out_ref[k] = _atan_of_sqrt(gx * gx + gy * gy) * DEG
                 elif stat == "aspect":
-                    gx = dzdx8 / 8.0
-                    gy = dzdy8 / 8.0
+                    gx = dzdx8 * 0.125
+                    gy = dzdy8 * 0.125
                     angle = _atan2(gy, -gx) * (180.0 / jnp.pi)
                     compass = jnp.where(
                         angle < 0.0, 90.0 - angle,
@@ -121,7 +153,9 @@ def _make_kernel(which, th, tw, sh, sw, gi, gj):
                     cs = (csx + csy) * 0.5
                     dd = (h + b) * 0.5 - e
                     ee = (f + d) * 0.5 - e
-                    out_ref[k] = -2.0 * (dd + ee) * 100.0 / (cs * cs)
+                    # scalar divide hoisted out of the lanes (Mosaic
+                    # does not strength-reduce per-lane divides)
+                    out_ref[k] = (dd + ee) * (-200.0 / (cs * cs))
                 elif stat == "hillshade":
                     # transcendental-free epilogue (see
                     # kernels/surface.py::hillshade_from_gradient)
@@ -137,7 +171,10 @@ def _make_kernel(which, th, tw, sh, sw, gi, gj):
                     shaded = ((sin_a + cos_a * (cos_p * gyc - sin_p * gxr))
                               * jax.lax.rsqrt(
                                   1.0 + gxr * gxr + gyc * gyc))
-                    out_ref[k] = (shaded + 1.0) / 2.0
+                    # * 0.5 is bit-identical to / 2.0 but Mosaic pays a
+                    # real per-lane divide for the latter (hillshade
+                    # 16k^2 ~3.8-4.3 -> 3.4 ms measured on surface2)
+                    out_ref[k] = (shaded + 1.0) * 0.5
 
         nk = len(which)
         pltpu.emit_pipeline(

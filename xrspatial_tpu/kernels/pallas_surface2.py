@@ -40,7 +40,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .pallas_surface import _atan, _atan2
+from .pallas_surface import _atan2, _atan_of_sqrt
 from .surface import (DEG, aspect_from_neighbors, curvature_from_center,
                       hillshade_from_gradient, slope_from_neighbors)
 
@@ -56,22 +56,6 @@ TILE_W = 8192  # 16k^2 sweeps 2026-08-17: slope 5.2 vs 7.9 ms, hillshade
 
 def _round_up(x, m):
     return -(-x // m) * m
-
-
-def _atan_of_sqrt(s):
-    """atan(sqrt(s)) for s >= 0 without a divide: the |t|<=1 range
-    reduction of _atan needs t = sqrt(s) or 1/sqrt(s), both single
-    hardware ops (sqrt / rsqrt) — the generic _atan pays sqrt THEN a
-    full divide.  Same minimax polynomial, same ~1e-7 max error."""
-    big = s > 1.0
-    t = jnp.where(big, jax.lax.rsqrt(jnp.maximum(s, 1e-30)), jnp.sqrt(s))
-    t2 = t * t
-    p = jnp.float32(-0.0040540580)
-    for c in (0.0218612288, -0.0559098861, 0.0964200441, -0.1390853351,
-              0.1994653599, -0.3332985605, 0.9999993329):
-        p = p * t2 + jnp.float32(c)
-    r = t * p
-    return jnp.where(big, jnp.float32(jnp.pi / 2.0) - r, r)
 
 
 def emit_surface(which, th, tw, scal, x, rb, cb, out_refs):
@@ -133,7 +117,9 @@ def emit_surface(which, th, tw, scal, x, rb, cb, out_refs):
             cs = (csx_ref[0, 0] + csy_ref[0, 0]) * 0.5
             dd = (hh + b) * 0.5 - e
             ee = (f + d) * 0.5 - e
-            out[1:th - 1, 1:tw - 1] = -2.0 * (dd + ee) * 100.0 / (cs * cs)
+            # scalar divide hoisted out of the lanes (Mosaic does not
+            # strength-reduce per-lane divides)
+            out[1:th - 1, 1:tw - 1] = (dd + ee) * (-200.0 / (cs * cs))
         elif stat == "hillshade":
             gxr = (hh - b) * 0.5
             gyc = (f - d) * 0.5
@@ -141,7 +127,7 @@ def emit_surface(which, th, tw, scal, x, rb, cb, out_refs):
                        + cos_a_ref[0, 0] * (cos_p_ref[0, 0] * gyc
                                             - sin_p_ref[0, 0] * gxr))
                       * jax.lax.rsqrt(1.0 + gxr * gxr + gyc * gyc))
-            out[1:th - 1, 1:tw - 1] = (shaded + 1.0) / 2.0
+            out[1:th - 1, 1:tw - 1] = (shaded + 1.0) * 0.5
         # seam rows (incl. the top/bottom NaN ring rows),
         # precomputed outside by the strided-slice band pass
         out[0:1, :] = rb[kk][0:1, :]

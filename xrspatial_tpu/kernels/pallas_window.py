@@ -53,8 +53,10 @@ def _make_kernel(offsets, stats, ry, rx, th, tw, sh, sw, gi, gj):
                     ok = ~jnp.isnan(s)
                     cnt += ok.astype(jnp.float32)
                     ssum += jnp.where(ok, s, 0.0)
-                mean = jnp.where(cnt > 0, ssum / jnp.maximum(cnt, 1.0),
-                                 jnp.nan)
+                # one per-lane divide shared by mean and var (Mosaic
+                # does not strength-reduce divides)
+                inv_cnt = 1.0 / jnp.maximum(cnt, 1.0)
+                mean = jnp.where(cnt > 0, ssum * inv_cnt, jnp.nan)
             if need_minmax:
                 smin = jnp.full((th, tw), jnp.inf, jnp.float32)
                 smax = jnp.full((th, tw), -jnp.inf, jnp.float32)
@@ -72,8 +74,7 @@ def _make_kernel(offsets, stats, ry, rx, th, tw, sh, sw, gi, gj):
                     s = shift(dy, dx)
                     d = s - mean
                     dev2 += jnp.where(jnp.isnan(s), 0.0, d * d)
-                var = jnp.where(cnt > 0, dev2 / jnp.maximum(cnt, 1.0),
-                                jnp.nan)
+                var = jnp.where(cnt > 0, dev2 * inv_cnt, jnp.nan)
 
             for k, stat in enumerate(stats):
                 if stat == "mean":

@@ -88,7 +88,11 @@ def emit_focal(offsets, stats, ry, rx, th, tw, seam_cols, x, rb_ref,
             ok = ~jnp.isnan(s)
             cnt += ok.astype(jnp.float32)
             ssum += jnp.where(ok, s, 0.0)
-        mean = jnp.where(cnt > 0, ssum / jnp.maximum(cnt, 1.0), jnp.nan)
+        # one per-lane divide shared by mean and var (Mosaic does not
+        # strength-reduce divides; reciprocal+multiply is ~1 ulp off
+        # the divide, inside the 1e-3 on-chip parity gate)
+        inv_cnt = 1.0 / jnp.maximum(cnt, 1.0)
+        mean = jnp.where(cnt > 0, ssum * inv_cnt, jnp.nan)
     if need_minmax:
         smin = jnp.full((ih, iw), jnp.inf, jnp.float32)
         smax = jnp.full((ih, iw), -jnp.inf, jnp.float32)
@@ -106,7 +110,7 @@ def emit_focal(offsets, stats, ry, rx, th, tw, seam_cols, x, rb_ref,
             s = shift(dy, dx)
             d = s - mean
             dev2 += jnp.where(jnp.isnan(s), 0.0, d * d)
-        var = jnp.where(cnt > 0, dev2 / jnp.maximum(cnt, 1.0), jnp.nan)
+        var = jnp.where(cnt > 0, dev2 * inv_cnt, jnp.nan)
 
     for k, stat in enumerate(stats):
         if stat == "mean":
