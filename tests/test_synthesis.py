@@ -65,6 +65,38 @@ def test_terrain_water_cutoff():
     assert t.max() <= 4000.0
 
 
+@pytest.mark.parametrize("octave", [0, 3, 11, 15])
+def test_lattice_path_bit_identical_to_device_gathers(octave):
+    """The host-hashed lattice + separable-take path (perlin.octave_tables /
+    octave_eval) must be BIT-identical to the legacy on-device gather
+    formulation (perlin_noise) — same float sequence per element."""
+    import jax.numpy as jnp
+
+    from xrspatial_tpu.perlin import (_permutation_table, octave_eval,
+                                      octave_tables, perlin_noise)
+    from xrspatial_tpu.utils import x64
+
+    h, w = 37, 53
+    freq = float(2 ** octave)
+    linx = np.linspace(0.0, 1.0, w, endpoint=False,
+                       dtype=np.float32).astype(np.float64)
+    liny = np.linspace(0.0, 1.0, h, endpoint=False,
+                       dtype=np.float32).astype(np.float64)
+    seed = 10 + octave
+
+    packed, ix, iy, xf, yf = octave_tables(seed, linx * freq, liny * freq)
+    new = np.asarray(octave_eval(jnp.asarray(packed), jnp.asarray(ix),
+                                 jnp.asarray(iy), jnp.asarray(xf),
+                                 jnp.asarray(yf)))
+
+    with x64():
+        p = jnp.asarray(_permutation_table(seed))
+        x, y = np.meshgrid(linx * freq, liny * freq)
+        old = np.asarray(perlin_noise(p, jnp.asarray(x), jnp.asarray(y)))
+
+    np.testing.assert_array_equal(new, old)
+
+
 def test_bump_centers():
     np.random.seed(0)
     out = bump(width=20, height=16, count=10, spread=0)

@@ -13,7 +13,7 @@ import os
 
 import numpy as np
 
-from ..perlin import _permutation_table, perlin_noise
+from ..perlin import octave_tables
 from ..utils import x64
 from ..xrlib import DataArray
 
@@ -62,24 +62,38 @@ def make_terrain(shape=(1024, 1024), scale=100.0, octaves=6,
     lacunarity); `chunks` is accepted for API compatibility and ignored —
     sharding replaces dask chunking in this framework.
     """
+    import jax
     import jax.numpy as jnp
+
+    from ..terrain import carve_octave, pack_octaves
 
     h, w = shape
     ys = np.arange(h, dtype=np.float32) / scale
     xs = np.arange(w, dtype=np.float32) / scale
-    x, y = np.meshgrid(xs, ys)
+
+    # host-hashed lattices + one packed upload (see perlin.py); fBm
+    # accumulation stays f64 as before (x64 at the call boundary)
+    octs, weights = [], []
+    amplitude, frequency = 1.0, 1.0
+    for i in range(octaves):
+        octs.append(octave_tables(42 + i, xs * np.float32(frequency),
+                                  ys * np.float32(frequency)))
+        weights.append(amplitude)
+        amplitude *= persistence
+        frequency *= lacunarity
+    tables, idx, frac, plan = pack_octaves(octs)
 
     with x64():
-        acc = jnp.zeros((h, w), dtype=jnp.float64)
-        amplitude = 1.0
-        frequency = 1.0
-        for i in range(octaves):
-            p = jnp.asarray(_permutation_table(42 + i))
-            acc = acc + amplitude * perlin_noise(
-                p, jnp.asarray(x * frequency), jnp.asarray(y * frequency))
-            amplitude *= persistence
-            frequency *= lacunarity
-        data = acc.astype(jnp.float32)
+        @jax.jit
+        def run(tables, idx, frac):
+            from ..perlin import octave_eval
+            acc = jnp.zeros((h, w), dtype=jnp.float64)
+            for entry, weight in zip(plan, weights):
+                fields = carve_octave(tables, idx, frac, entry)
+                acc = acc + weight * octave_eval(*fields)
+            return acc.astype(jnp.float32)
+
+        data = run(jnp.asarray(tables), jnp.asarray(idx), jnp.asarray(frac))
 
     out = DataArray(data, name="terrain", dims=("y", "x"),
                     attrs={"res": 1})

@@ -1,23 +1,31 @@
 """Pseudo-random terrain synthesis (16-octave perlin fBm).
 
 TPU-native counterpart of reference ``xrspatial/terrain.py``: the octave
-loop (``_gen_terrain``, terrain.py:36-61) runs on device, one fused jitted
-octave accumulation per permutation table; water cutoff and zfactor scaling
-match terrain.py:64-80.  Output coordinates reproduce the datashader
-Canvas pixel-center convention the reference relies on (terrain.py:267-273)
+loop (``_gen_terrain``, terrain.py:36-61), water cutoff and zfactor scaling
+(terrain.py:64-80).  Output coordinates reproduce the datashader Canvas
+pixel-center convention the reference relies on (terrain.py:267-273)
 without the datashader dependency.
+
+Round-4 architecture: each octave's ``p[p[xi]+yi]`` hash lattice is computed
+on the HOST over the unique (xi, yi) values only (xi depends on the column,
+yi on the row — see perlin.py), all 16 octaves' packed tables / indices /
+fractions ship as THREE device_put calls total, and one jitted program
+expands each lattice with two whole-axis takes and accumulates.  This
+replaced a 16-dispatch device-gather loop that cost ~3.2 s at 1024²
+(HBM-latency-bound random gathers); outputs are bit-identical (goldens +
+A/B pinned in tests/test_synthesis.py).
 """
 
 from __future__ import annotations
 
+from functools import lru_cache
 from typing import List, Optional, Tuple, Union
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .perlin import _permutation_table, perlin_noise
-from .utils import x64
+from .perlin import octave_eval, octave_tables
 from .xrlib import DataArray
 
 __all__ = ["generate_terrain"]
@@ -33,26 +41,67 @@ def _scale(value, old_range, new_range):
     return d * (new_range[1] - new_range[0]) + new_range[0]
 
 
-@jax.jit
-def _octave_add(acc, p, x, y, mult):
-    return acc + perlin_noise(p, x, y) * mult
+def pack_octaves(octaves):
+    """Concatenate per-octave (packed, ix, iy, xf, yf) tuples into three
+    flat transport arrays (uint8 tables / int32 indices / f32 fractions)
+    plus a static carve plan.
+
+    Each device_put through the axon tunnel costs ~10 ms, so 16 octaves x 5
+    fields must not ship individually (the exact-viewshed packed-transport
+    lesson).  The carve plan is a tuple of static ints, hashable for the
+    program cache.
+    """
+    tables, idx, frac, plan = [], [], [], []
+    t_off = i_off = f_off = 0
+    for packed, ix, iy, xf, yf in octaves:
+        nyi, nxi = packed.shape
+        h, w = iy.shape[0], ix.shape[0]
+        plan.append((t_off, nyi, nxi, i_off, w, h, f_off))
+        tables.append(packed.ravel())
+        idx.append(ix)
+        idx.append(iy)
+        frac.append(xf)
+        frac.append(yf)
+        t_off += nyi * nxi
+        i_off += w + h
+        f_off += w + h
+    return (np.concatenate(tables), np.concatenate(idx),
+            np.concatenate(frac), tuple(plan))
 
 
-# NOTE: one-dispatch variants of the octave loop were tried and are
-# SLOWER on this TPU than 16 separate jit calls: a fori-loop body with
-# traced frequencies ran 6x slower, a fully-unrolled single program 2x
-# slower (XLA fuses the 16 gather chains into a worse schedule than 16
-# small programs).  Keep per-octave dispatch; the win is the f32 fade/
-# gradient math after the f64 lattice split (see perlin.py).
+def carve_octave(tables, idx, frac, entry):
+    """Static-slice one octave's fields out of the packed transport."""
+    t_off, nyi, nxi, i_off, w, h, f_off = entry
+    packed = tables[t_off:t_off + nyi * nxi].reshape(nyi, nxi)
+    ix = idx[i_off:i_off + w]
+    iy = idx[i_off + w:i_off + w + h]
+    xf = frac[f_off:f_off + w]
+    yf = frac[f_off + w:f_off + w + h]
+    return packed, ix, iy, xf, yf
 
 
-@jax.jit
-def _finalize(acc, zfactor):
-    data = acc / _OCTAVE_NORM
-    data = data ** 3
-    data = (data - jnp.min(data)) / (jnp.max(data) - jnp.min(data))
-    data = jnp.where(data < 0.3, 0.0, data)  # water cutoff
-    return (data * zfactor).astype(jnp.float32)
+@lru_cache(maxsize=8)
+def _terrain_program(plan, weights):
+    """One jitted program: carve + expand + accumulate all octaves, finalize.
+
+    ``plan``/``weights`` are static per output shape; the accumulation order
+    and f32 arithmetic match the legacy per-octave dispatch bit-for-bit.
+    """
+
+    @jax.jit
+    def run(tables, idx, frac, zfactor):
+        acc = None
+        for entry, weight in zip(plan, weights):
+            packed, ix, iy, xf, yf = carve_octave(tables, idx, frac, entry)
+            val = octave_eval(packed, ix, iy, xf, yf) * jnp.float32(weight)
+            acc = val if acc is None else acc + val
+        data = acc / _OCTAVE_NORM
+        data = data ** 3
+        data = (data - jnp.min(data)) / (jnp.max(data) - jnp.min(data))
+        data = jnp.where(data < 0.3, 0.0, data)  # water cutoff
+        return (data * zfactor).astype(jnp.float32)
+
+    return run
 
 
 def generate_terrain(agg: DataArray,
@@ -91,24 +140,24 @@ def generate_terrain(agg: DataArray,
     y_scaled = (_scale(y_range[0], full_yrange, (0.0, 1.0)),
                 _scale(y_range[1], full_yrange, (0.0, 1.0)))
 
+    # f32 linspace then f64 promotion reproduces the legacy device math:
+    # x*freq is exact in f64 (freq is a power of two), and the f64->f32
+    # fraction rounding matches the old in-jit x64 split.
     linx = np.linspace(x_scaled[0], x_scaled[1], width, endpoint=False,
-                       dtype=np.float32)
+                       dtype=np.float32).astype(np.float64)
     liny = np.linspace(y_scaled[0], y_scaled[1], height, endpoint=False,
-                       dtype=np.float32)
-    x, y = np.meshgrid(linx, liny)
-    x = jnp.asarray(x)
-    y = jnp.asarray(y)
+                       dtype=np.float32).astype(np.float64)
 
-    with x64():
-        x = x.astype(jnp.float64)
-        y = y.astype(jnp.float64)
-        acc = jnp.zeros((height, width), dtype=jnp.float32)
-        for i in range(_N_OCTAVES):
-            p = jnp.asarray(_permutation_table(seed + i))
-            freq = float(2 ** i)
-            acc = _octave_add(acc, p, x * freq, y * freq,
-                              jnp.float32(1.0 / freq))
-        out = _finalize(acc, float(zfactor))
+    octaves = []
+    weights = []
+    for i in range(_N_OCTAVES):
+        freq = float(2 ** i)
+        octaves.append(octave_tables(seed + i, linx * freq, liny * freq))
+        weights.append(1.0 / freq)
+    tables, idx, frac, plan = pack_octaves(octaves)
+    run = _terrain_program(plan, tuple(weights))
+    out = run(jnp.asarray(tables), jnp.asarray(idx), jnp.asarray(frac),
+              np.float32(zfactor))
 
     # datashader Canvas pixel-center coordinate convention
     dx = (x_range[1] - x_range[0]) / width
