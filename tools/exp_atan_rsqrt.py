@@ -33,19 +33,25 @@ from xrspatial_tpu.kernels.surface import slope_jit
 
 N = 16384
 
-_atan_current = ps2._atan_of_sqrt
+
+# HISTORICAL baseline: the round-3 sqrt+rsqrt implementation, inlined —
+# the variant below SHIPPED as ps2._atan_of_sqrt, so importing the
+# production symbol as "current" would A/B the variant against itself.
+def _atan_current(s):
+    from xrspatial_tpu.kernels.pallas_surface import _atan_poly
+    big = s > 1.0
+    t = jnp.where(big, jax.lax.rsqrt(jnp.maximum(s, 1e-30)),
+                  jnp.sqrt(s))
+    r = t * _atan_poly(t * t)
+    return jnp.where(big, jnp.float32(np.pi / 2.0) - r, r)
 
 
 def _atan_one_rsqrt(s):
+    from xrspatial_tpu.kernels.pallas_surface import _atan_poly
     big = s > 1.0
     rs = jax.lax.rsqrt(jnp.maximum(s, 1e-30))
     t = jnp.where(big, rs, s * rs)
-    t2 = t * t
-    p = jnp.float32(-0.0040540580)
-    for c in (0.0218612288, -0.0559098861, 0.0964200441, -0.1390853351,
-              0.1994653599, -0.3332985605, 0.9999993329):
-        p = p * t2 + jnp.float32(c)
-    r = t * p
+    r = t * _atan_poly(t * t)
     return jnp.where(big, jnp.float32(np.pi / 2.0) - r, r)
 
 

@@ -44,14 +44,19 @@ def _atan(x):
     ax = jnp.abs(x)
     big = ax > 1.0
     t = jnp.where(big, 1.0 / jnp.maximum(ax, 1e-30), ax)
-    t2 = t * t
+    r = t * _atan_poly(t * t)
+    r = jnp.where(big, HALF_PI - r, r)
+    return jnp.where(x < 0.0, -r, r)
+
+
+def _atan_poly(t2):
+    """Shared 7-term minimax Horner evaluation for _atan/_atan_of_sqrt
+    (single source: a coefficient tweak must hit both identically)."""
     p = jnp.float32(-0.0040540580)
     for c in (0.0218612288, -0.0559098861, 0.0964200441, -0.1390853351,
               0.1994653599, -0.3332985605, 0.9999993329):
         p = p * t2 + jnp.float32(c)
-    r = t * p
-    r = jnp.where(big, HALF_PI - r, r)
-    return jnp.where(x < 0.0, -r, r)
+    return p
 
 
 def _atan2(y, x):
@@ -65,8 +70,15 @@ def _atan2(y, x):
     Trade-off: when BOTH |x| and |y| are below ~1e-38 (subnormal
     gradients, unreachable for real DEM data), 1/x overflows and the
     result saturates to +-pi/2 where y/x would give a mid-quadrant
-    angle; maxdiff vs the XLA twin on terrain data is 3.1e-5 deg."""
+    angle; maxdiff vs the XLA twin on terrain data is 3.1e-5 deg.
+    |safe_x| is clamped above the reciprocal-overflow threshold so the
+    reciprocal stays finite — without it, y == 0 with 0 < |x| < ~2.9e-39
+    gave 0 * inf = NaN where y/x gives 0 (reachable only on the CPU
+    interpret path; TPU flushes subnormals)."""
     safe_x = jnp.where(x == 0.0, 1.0, x)
+    safe_x = jnp.where(jnp.abs(safe_x) < 1e-37,
+                       jnp.where(safe_x < 0.0, jnp.float32(-1e-37),
+                                 jnp.float32(1e-37)), safe_x)
     base = _atan(y * (1.0 / safe_x))
     pi = jnp.float32(jnp.pi)
     out = jnp.where(
@@ -92,12 +104,7 @@ def _atan_of_sqrt(s):
     big = s > 1.0
     rs = jax.lax.rsqrt(jnp.maximum(s, 1e-30))
     t = jnp.where(big, rs, s * rs)
-    t2 = t * t
-    p = jnp.float32(-0.0040540580)
-    for c in (0.0218612288, -0.0559098861, 0.0964200441, -0.1390853351,
-              0.1994653599, -0.3332985605, 0.9999993329):
-        p = p * t2 + jnp.float32(c)
-    r = t * p
+    r = t * _atan_poly(t * t)
     return jnp.where(big, HALF_PI - r, r)
 
 
