@@ -220,6 +220,33 @@ def test_attrs_fast_paths_bitwise(vp):
                            enter_elev, vp_elev, 1.25, -0.75, (vr, vc)))
 
 
+@pytest.mark.parametrize("vp", [(10, 20), (0, 0), (39, 55), (0, 30),
+                                (20, 55)])
+def test_attrs_subset_bitwise(vp):
+    """cell_attrs_subset (scattered-index f64 attrs) must be
+    BIT-IDENTICAL to the corresponding elements of the full-plane
+    cell_attrs_host — the f64 re-eval contract allows no deviation."""
+    from xrspatial_tpu.kernels.viewshed import (cell_attrs_host,
+                                                cell_attrs_subset)
+    rng = np.random.default_rng(vp[0] * 7 + vp[1])
+    h, w = 40, 56
+    data = (rng.random((h, w)) * 80).astype(np.float64)
+    data[np.unravel_index(rng.integers(0, data.size, 15), data.shape)] \
+        = np.nan
+    full = cell_attrs_host(data, vp[0], vp[1], 3.0, 0.5, 1.5, -1.0)
+    idx = np.unique(np.concatenate([
+        rng.integers(0, h * w, 200),
+        np.array([0, h * w - 1, vp[0] * w + vp[1]]),
+        np.arange(vp[0] * w, vp[0] * w + w),   # the crossing ray row
+        np.arange(h) * w + vp[1],
+    ]))
+    sub = cell_attrs_subset(data, idx, vp[0], vp[1], 3.0, 0.5, 1.5, -1.0)
+    assert sub["vp_elev"] == full["vp_elev"]
+    for f in ("key", "a0", "a1", "a2", "g0", "g1", "g2", "grad_t",
+              "is_vp", "valid_b"):
+        np.testing.assert_array_equal(sub[f], full[f][idx], err_msg=f)
+
+
 def test_f64_reeval_paths_bitwise_equal():
     """The two f64 re-eval runners the ambiguous-target gate routes
     between — full-table upload vs host-gathered (A, E) slices — must
@@ -242,9 +269,11 @@ def test_f64_reeval_paths_bitwise_equal():
     sub = np.pad(sub, (0, L - sub.size), mode="edge")
     tperm, glob_i, tiers, A, C = VE._bucket_plan(at, 12, 30, 128,
                                                  targets=sub, cache=cache)
+    from xrspatial_tpu.kernels.viewshed import cell_attrs_subset_fn
+    attrs_of = cell_attrs_subset_fn(data, 12, 30, 3.0, 0.5, 1.5, -1.0)
     with x64():
         via_tables = VE._run_buckets_f64(at, tperm, glob_i, tiers, A, C)
-        via_gather = VE._run_buckets_f64_gathered(at, tperm, glob_i,
+        via_gather = VE._run_buckets_f64_gathered(attrs_of, tperm, glob_i,
                                                   tiers, A, C)
     np.testing.assert_array_equal(via_tables, via_gather)
 

@@ -395,6 +395,152 @@ def cell_attrs_host(data_np, vp_row: int, vp_col: int, observer_elev: float,
     }
 
 
+def cell_attrs_subset(data_np, flat_idx, vp_row: int, vp_col: int,
+                      observer_elev: float, target_elev: float,
+                      ew_res: float, ns_res: float):
+    """f64 predicate attributes at SCATTERED flat indices — bit-identical
+    per element to `cell_attrs_host` (pinned by
+    tests/test_viewshed.py::test_attrs_subset_bitwise), at O(|subset|)
+    cost.  The f64 re-evaluation of screen-ambiguous targets only needs
+    attrs at its gathered candidate/target positions, so computing the
+    full planes (seconds at 4096^2 on a 1-cpu host) is wasted work.
+    """
+    return cell_attrs_subset_fn(data_np, vp_row, vp_col, observer_elev,
+                                target_elev, ew_res, ns_res)(flat_idx)
+
+
+def cell_attrs_subset_fn(data_np, vp_row: int, vp_col: int,
+                         observer_elev: float, target_elev: float,
+                         ew_res: float, ns_res: float):
+    """Factory form of `cell_attrs_subset`: pads the elevation grid once
+    and returns ``fn(flat_idx) -> attrs dict`` for repeated gathered
+    lookups (one per candidate tier plus the target side)."""
+    data = np.asarray(data_np, dtype=np.float64)
+    h, w = data.shape
+    p = np.pad(data, 1, constant_values=np.nan)
+    vp_elev = data[vp_row, vp_col] + observer_elev
+
+    def fn(flat_idx):
+        return _cell_attrs_at(data, p, flat_idx, vp_row, vp_col, vp_elev,
+                              target_elev, ew_res, ns_res)
+
+    return fn
+
+
+def _cell_attrs_at(data, p, flat_idx, vp_row, vp_col, vp_elev,
+                   target_elev, ew_res, ns_res):
+    h, w = data.shape
+    idx = np.asarray(flat_idx, dtype=np.int64)
+    rows, cols = np.divmod(idx, w)
+
+    dr = rows.astype(np.float64) - np.float64(vp_row)
+    dc = cols.astype(np.float64) - np.float64(vp_col)
+
+    # corner offsets via the same 3x3 quadrant tables as
+    # _corner_offsets_np (band index 0/1/2 = north/same/south etc.)
+    bi = (rows >= vp_row).astype(np.int64) + (rows > vp_row)
+    bj = (cols >= vp_col).astype(np.int64) + (cols > vp_col)
+    tables = (
+        ((-0.5, 0.5, 0.5), (-0.5, 0.0, 0.5), (-0.5, -0.5, 0.5)),   # e_dy
+        ((0.5, 0.5, 0.5), (0.5, 0.0, -0.5), (-0.5, -0.5, -0.5)),   # e_dx
+        ((0.5, 0.5, -0.5), (0.5, 0.0, -0.5), (0.5, -0.5, -0.5)),   # x_dy
+        ((-0.5, -0.5, -0.5), (0.5, 0.0, -0.5), (0.5, 0.5, 0.5)),   # x_dx
+    )
+    e_dy, e_dx, x_dy, x_dx = (np.asarray(t, dtype=np.float64)[bi, bj]
+                              for t in tables)
+    e_dy = e_dy + dr
+    e_dx = e_dx + dc
+    x_dy = x_dy + dr
+    x_dx = x_dx + dc
+
+    # enter/exit corner elevations: the pinwheel (sy, sx) selection of
+    # _corner_elev_np, evaluated per element with the identical
+    # (diag + vert + horiz + center) / 4 association
+    center = data[rows, cols]
+
+    def corner(enter):
+        if enter:
+            sy = np.where(rows <= vp_row,
+                          np.where(cols < vp_col, -1,
+                                   np.where(rows < vp_row, 1,
+                                            np.where(cols >= vp_col + 1,
+                                                     1, -1))),
+                          np.where(cols >= vp_col + 1, 1, -1))
+            sx = np.where((rows <= vp_row) & (cols < vp_col), 1,
+                          np.where((rows < vp_row) & (cols >= vp_col), 1,
+                                   -1))
+        else:
+            sy = np.where((rows < vp_row) & (cols <= vp_col), 1,
+                          np.where((rows <= vp_row) & (cols > vp_col), -1,
+                                   np.where((rows > vp_row)
+                                            & (cols >= vp_col), -1, 1)))
+            sx = np.where((rows < vp_row) & (cols <= vp_col), -1,
+                          np.where((rows <= vp_row) & (cols > vp_col), -1,
+                                   np.where((rows > vp_row)
+                                            & (cols >= vp_col), 1, 1)))
+        diag = p[1 + rows + sy, 1 + cols + sx]
+        vert = p[1 + rows + sy, 1 + cols]
+        horiz = p[1 + rows, 1 + cols + sx]
+        avg = (diag + vert + horiz + center) / 4.0
+        out = np.where(np.isnan(avg), center, avg)
+        return np.where((rows == vp_row) & (cols == vp_col), center, out)
+
+    enter_elev = corner(True)
+    exit_elev = corner(False)
+
+    def angle(drows, dcols):
+        ex_eq = dcols == 0.0
+        ang = np.arctan(np.abs(drows) / np.where(ex_eq, 1.0,
+                                                 np.abs(dcols)))
+        out = np.zeros(idx.shape, dtype=np.float64)
+        out[(dcols > 0) & (drows < 0)] = ang[(dcols > 0) & (drows < 0)]
+        q2 = (dcols < 0) & (drows < 0)
+        q3 = (dcols < 0) & (drows > 0)
+        q4 = (dcols > 0) & (drows > 0)
+        out[q2] = PI - ang[q2]
+        out[q3] = PI + ang[q3]
+        out[q4] = 2.0 * PI - ang[q4]
+        out[ex_eq & (drows < 0)] = PI / 2.0
+        out[ex_eq & (drows > 0)] = 3.0 * PI / 2.0
+        ey_eq = drows == 0.0
+        out[ey_eq & (dcols > 0)] = 0.0
+        out[ey_eq & (dcols < 0)] = PI
+        out[ex_eq & ey_eq] = 0.0
+        return out
+
+    at_vp = (rows == vp_row) & (cols == vp_col)
+
+    def gradient(dy_px, dx_px, elev):
+        diff = elev - vp_elev
+        d2 = dx_px * ew_res
+        d2 = d2 * d2
+        t = dy_px * ns_res
+        t = t * t
+        d2 = d2 + t
+        d2 = np.where(at_vp, 1.0, d2)
+        grad = np.arctan(diff / np.sqrt(d2))
+        return np.where(at_vp, np.sign(diff) * (PI / 2.0), grad)
+
+    with np.errstate(invalid="ignore"):
+        a0 = angle(e_dy, e_dx)
+        a1 = angle(dr, dc)
+        a2 = angle(x_dy, x_dx)
+        g0 = gradient(e_dy, e_dx, enter_elev)
+        g1 = gradient(dr, dc, center)
+        g2 = gradient(x_dy, x_dx, exit_elev)
+        grad_t = gradient(dr, dc, center + target_elev)
+
+    key = (dc * ew_res) ** 2 + (dr * ns_res) ** 2
+    valid_b = np.isfinite(g1)
+    valid_b[at_vp] = False
+    return {
+        "key": key, "a0": a0, "a1": a1, "a2": a2,
+        "g0": g0, "g1": g1, "g2": g2, "grad_t": grad_t,
+        "is_vp": at_vp, "valid_b": valid_b,
+        "vp_elev": vp_elev, "shape": (h, w),
+    }
+
+
 @partial(jax.jit, static_argnames=("shape",))
 def _visibility_epilogue(data, visible, vp_elev, vp_row, vp_col,
                          target_elev, ew_res, ns_res, shape):

@@ -36,19 +36,26 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .viewshed import (INVISIBLE, PI, _interp_blocked_max,  # noqa: F401
-                       _visibility_epilogue, cell_attrs_host)
+from .viewshed import (INVISIBLE, PI, _calculate_angle,  # noqa: F401
+                       _corner_elev_np, _corner_offsets, _interp_blocked_max,
+                       _np_rects, _visibility_epilogue, cell_attrs_host,
+                       cell_attrs_subset, cell_attrs_subset_fn)
 
 __all__ = ["viewshed_grid_exact"]
 
 _PLANES = ("key", "a0", "a1", "a2", "g0", "g1", "g2")
 
-# index-distance tier boundaries; the first is also the near-set radius
-_TIER_BOUNDS = (8, 32, 128, 512, 2048, 8192)
+# index-distance tier boundaries (ratio 2: the per-tier halfspan bound
+# asin(sqrt(2)/2 / r_lo) overshoots a cell's true halfspan by at most
+# ~2x); the first bound is also the near-set radius
+_TIER_BOUNDS = (8, 16, 32, 64, 128, 256, 512, 1024, 2048, 4096, 8192,
+                16384)
 
-# safety margin added to the analytic halfspan bound (float rounding of
-# host-computed angles; the bound itself is exact real-arithmetic)
-_W_EPS = 1e-9
+# safety margin added to the analytic halfspan bound: covers float
+# rounding of the f32 sort keys / bucket endpoints vs the true f64
+# angles (>= 2 * _E_ANG + margin; the bound itself is exact
+# real-arithmetic)
+_W_EPS = 1e-5
 
 
 def _round_up(x: int, m: int) -> int:
@@ -61,36 +68,6 @@ def _blocker_table(at, idx):
     tab = {f: at[f][idx] for f in _PLANES}
     tab["valid_b"] = at["valid_b"][idx]
     tab["idx"] = idx.astype(np.int64)
-    return tab
-
-
-def _blocker_table_screen(at, idx):
-    """float32 candidate table for the interval-screen pass.
-
-    Branch decisions that the f64 path derives from comparisons
-    (crossing, angle unwrap) are precomputed HERE in float64 and shipped
-    as data, so the screen's only approximations are value casts and
-    f32 arithmetic — both covered by the interval tolerances."""
-    two_pi = 2.0 * np.pi
-    a0 = at["a0"][idx]
-    a1 = at["a1"][idx]
-    a2 = at["a2"][idx]
-    crossing = a0 > a2
-    tab = {
-        "key": at["key"][idx].astype(np.float32),
-        "a0": a0.astype(np.float32),
-        "a2": a2.astype(np.float32),
-        "a1e": np.where(crossing & (a1 < a0), a1 + two_pi,
-                        a1).astype(np.float32),
-        "a2e": np.where(crossing & (a2 < a0), a2 + two_pi,
-                        a2).astype(np.float32),
-        "g0": at["g0"][idx].astype(np.float32),
-        "g1": at["g1"][idx].astype(np.float32),
-        "g2": at["g2"][idx].astype(np.float32),
-        "crossing": crossing,
-        "valid_b": at["valid_b"][idx],
-        "idx": idx.astype(np.int32),
-    }
     return tab
 
 
@@ -124,30 +101,92 @@ def _tier_cache(at, vp_row, vp_col):
     return glob_idx, tier_list
 
 
-def _bucket_plan(at, vp_row, vp_col, C, targets=None, cache=None):
+def _bucket_plan(at, vp_row, vp_col, C, targets=None, cache=None,
+                 dense_order=None):
     """Host-side plan: target permutation, tier tables, slice offsets.
 
     ``targets`` restricts the TARGET side to a subset of cell indices
     (used for the f64 re-evaluation of screen-ambiguous targets); the
     candidate tiers always cover every cell.  ``cache`` (from
-    `_tier_cache`) skips recomputing the target-independent tier sorts."""
+    `_tier_cache`) skips recomputing the target-independent tier sorts.
+    ``dense_order`` optionally supplies the all-cells angle argsort
+    (the screen cache already computed it — a second 16.7M-element
+    argsort cost ~2.5 s at 4096^2 on the 1-cpu host)."""
     a1 = at["a1"]
     if cache is None:
         cache = _tier_cache(at, vp_row, vp_col)
     glob_idx, tier_list = cache
 
     if targets is None:
-        targets = np.arange(a1.size, dtype=np.int64)
+        n_all = a1.size
+        targets = np.arange(n_all, dtype=np.int64)
+        dense = True
+    else:
+        n_all = a1.size
+        dense = False
     n_t = targets.size
     C = min(C, n_t)
-    A = -(-n_t // C)
-    perm = np.argsort(a1[targets], kind="stable")
+    if dense and dense_order is not None:
+        perm = dense_order
+    else:
+        perm = np.argsort(a1[targets], kind="stable")
     a1s = a1[targets][perm]
 
-    lo_t = np.minimum(np.arange(A, dtype=np.int64) * C, n_t - C)
-    tperm = targets[perm[(lo_t[:, None] + np.arange(C)[None, :]).ravel()]]
-    starts = a1s[lo_t]
-    ends = a1s[lo_t + C - 1]
+    if dense:
+        A = -(-n_t // C)
+        lo_t = np.minimum(np.arange(A, dtype=np.int64) * C, n_t - C)
+        tperm = targets[perm[(lo_t[:, None]
+                              + np.arange(C)[None, :]).ravel()]]
+        starts = a1s[lo_t]
+        ends = a1s[lo_t + C - 1]
+    else:
+        # SPARSE target subsets (the f64 re-eval of screen-ambiguous
+        # cells) must bucket by ANGLE SPAN, not just count: C scattered
+        # targets can span the whole circle, making every tier's
+        # candidate window the entire tier (measured 4e10 f64 pair
+        # evals = ~55 s at 4096^2).  Quantize angle into cells of dmax,
+        # sub-chunk each cell by C, and pad short buckets by repeating
+        # their last member (duplicates write equal values).
+        #
+        # dmax comes from the cost model: with D = candidate density
+        # per radian, B = the irreducible per-bucket candidate count
+        # (sum over tiers of each tier's 2W halfspan window), and
+        # Theta = the total angular extent actually occupied by the
+        # subset, cost(dmax) ~ n_t*D*dmax + Theta*C*B/dmax (+ consts),
+        # minimized at dmax* = sqrt(Theta*C*B / (n_t*D)).  A naive
+        # density rule (2C targets per cell) measured sumE = 76,800 at
+        # 2048^2 because ambiguous targets CLUSTER in angle; the cost
+        # model gives ~2k for the same subset.
+        D = n_all / (2.0 * np.pi)
+        B = sum(2.0 * W * ta1.size for _, ta1, W in tier_list) \
+            / (2.0 * np.pi) + 1.0
+        g0 = 4.0 * C / max(n_all, 1) * 2.0 * np.pi
+        occ = np.unique((a1s / g0).astype(np.int64)).size
+        theta = occ * g0
+        dmax = float(np.sqrt(max(theta * C * B / (n_t * D), g0 * g0)))
+        dmax = min(max(dmax, g0), 0.5)
+        cell = np.floor(a1s / dmax).astype(np.int64)
+        first = np.zeros(n_t, dtype=bool)
+        first[0] = True
+        first[1:] = cell[1:] != cell[:-1]
+        cell_start = np.maximum.accumulate(
+            np.where(first, np.arange(n_t, dtype=np.int64), 0))
+        new_b = ((np.arange(n_t, dtype=np.int64) - cell_start) % C) == 0
+        s_b = np.nonzero(new_b)[0]
+        e_b = np.append(s_b[1:], n_t)
+        # pad the bucket COUNT to a power of two (the scan length is a
+        # compile-time constant; a data-dependent A would recompile per
+        # call) by repeating the last bucket — equal writes, inert
+        A = 1 << (max(int(s_b.size), 8) - 1).bit_length()
+        pad = A - s_b.size
+        if pad:
+            s_b = np.append(s_b, np.full(pad, s_b[-1]))
+            e_b = np.append(e_b, np.full(pad, e_b[-1]))
+        member = s_b[:, None] + np.minimum(np.arange(C)[None, :],
+                                           (e_b - s_b - 1)[:, None])
+        tperm = targets[perm[member.ravel()]]
+        starts = a1s[s_b]
+        ends = a1s[e_b - 1]
 
     tiers = []
     for tidx, ta1, W in tier_list:
@@ -176,16 +215,14 @@ def viewshed_grid_exact(data, vp_row: int, vp_col: int,
     chunk = int(os.environ.get("XRSPATIAL_VS_EXACT_CHUNK", chunk))
     mark = _phase_timer()
     data_np = np.asarray(data, dtype=np.float64)
-    at = cell_attrs_host(data_np, vp_row, vp_col, observer_elev,
-                         target_elev, ew_res, ns_res)
-    mark("attrs")
-    h, w = at["shape"]
+    h, w = data_np.shape
     n = h * w
+    vp_elev = data_np[vp_row, vp_col] + observer_elev
 
-    screen = os.environ.get("XRSPATIAL_VS_NO_SCREEN") != "1"
-    if screen:
-        visible = _screened_visibility(at, vp_row, vp_col, chunk)
-    else:
+    if os.environ.get("XRSPATIAL_VS_NO_SCREEN") == "1":
+        at = cell_attrs_host(data_np, vp_row, vp_col, observer_elev,
+                             target_elev, ew_res, ns_res)
+        mark("attrs")
         tperm, glob_idx, tiers, A, C = _bucket_plan(at, vp_row, vp_col,
                                                     chunk)
         with x64():
@@ -193,11 +230,15 @@ def viewshed_grid_exact(data, vp_row: int, vp_col: int,
         visible = np.empty(n, dtype=bool)
         # clamped-overlap duplicates write equal values
         visible[tperm] = vis_np
+    else:
+        visible = _screened_visibility(data_np, vp_row, vp_col,
+                                       observer_elev, target_elev,
+                                       ew_res, ns_res, chunk, mark)
 
     with x64():
         visible_dev = jnp.asarray(visible.reshape(h, w))
         return _visibility_epilogue(jnp.asarray(data_np), visible_dev,
-                                    jnp.float64(at["vp_elev"]),
+                                    jnp.float64(vp_elev),
                                     jnp.int32(vp_row), jnp.int32(vp_col),
                                     jnp.float64(target_elev),
                                     jnp.float64(ew_res),
@@ -258,7 +299,7 @@ def _carve(packed, offs):
         for i in range(len(offs) - 1))
 
 
-def _run_buckets_f64_gathered(at, tperm, glob_idx, tiers, A, C,
+def _run_buckets_f64_gathered(attrs_of, tperm, glob_idx, tiers, A, C,
                               mark=lambda label: None):
     """Float64 bucket evaluation for a SMALL target subset: instead of
     uploading full per-tier f64 tables (O(N) device bytes — the old
@@ -266,26 +307,28 @@ def _run_buckets_f64_gathered(at, tperm, glob_idx, tiers, A, C,
     the (A, E) candidate slices each bucket actually reads, flatten them
     to (A*E,) concatenated blocks, and hand the unchanged scan kernel
     stride-E offsets.  Identical candidate supersets + identical
-    predicate => bit-identical visibility."""
+    predicate => bit-identical visibility.
+
+    ``attrs_of(flat_idx) -> dict`` supplies the f64 attributes at
+    arbitrary flat indices (cell_attrs_subset_fn, or a gather from
+    full planes — bit-identical either way)."""
     # build EVERY table host-side first, then upload each field ONCE as
     # a concatenation of [glob, tier1, tier2, ...] and carve it back up
     # with static device slices: ~90 per-field uploads at ~10 ms tunnel
     # roundtrip each were most of this path's cost
     host_tabs = []
 
-    def _host_tab(flat, valid, idx):
-        tab = {f: at[f][flat] for f in _PLANES}
-        tab["valid_b"] = valid
-        tab["idx"] = idx
+    def _host_tab(flat, inb):
+        a = attrs_of(flat)
+        tab = {f: a[f] for f in _PLANES}
+        tab["valid_b"] = a["valid_b"] & inb
+        tab["idx"] = np.where(inb, flat, -1).astype(np.int64)
         return tab
 
     gpad = _round_up(glob_idx.size, 1024)
     gext = np.pad(glob_idx, (0, gpad - glob_idx.size))
     host_tabs.append(_host_tab(
-        gext, np.pad(at["valid_b"][glob_idx],
-                     (0, gpad - glob_idx.size)),
-        np.pad(glob_idx.astype(np.int64), (0, gpad - glob_idx.size),
-               constant_values=-1)))
+        gext, np.arange(gpad) < glob_idx.size))
     Es = []
     for tidx, los, E in tiers:
         # same clamp semantics as _build_tables: slices stay in-bounds
@@ -295,9 +338,7 @@ def _run_buckets_f64_gathered(at, tperm, glob_idx, tiers, A, C,
         pos = los[:, None] + np.arange(E)[None, :]
         flat = tidx[np.minimum(pos, tidx.size - 1)].ravel()
         inb = (pos < tidx.size).ravel()
-        host_tabs.append(_host_tab(
-            flat, at["valid_b"][flat] & inb,
-            np.where(inb, flat, -1).astype(np.int64)))
+        host_tabs.append(_host_tab(flat, inb))
         Es.append(E)
     mark("reeval/host-gather")
 
@@ -308,10 +349,11 @@ def _run_buckets_f64_gathered(at, tperm, glob_idx, tiers, A, C,
     dev_tabs = _carve(packed, offs)
     mark("reeval/upload+carve")
 
+    ta = attrs_of(tperm)
     tgt = {
-        "a1": jnp.asarray(at["a1"][tperm]),
-        "key": jnp.asarray(at["key"][tperm]),
-        "grad_t": jnp.asarray(at["grad_t"][tperm]),
+        "a1": jnp.asarray(ta["a1"]),
+        "key": jnp.asarray(ta["key"]),
+        "grad_t": jnp.asarray(ta["grad_t"]),
         "idx": jnp.asarray(tperm.astype(np.int64)),
     }
     tier_tabs = [(tab, E) for tab, E in zip(dev_tabs[1:], Es)]
@@ -355,72 +397,390 @@ def _phase_timer():
     return mark
 
 
-def _screened_visibility(at, vp_row, vp_col, chunk):
-    """Interval-screened exact visibility: a float32 pass computes per
-    target a SOUND [blocked_lo, blocked_hi] interval for the max
-    blocker gradient; targets whose interval straddles their own
-    gradient band (plus every NaN) are re-evaluated with the full
-    float64 predicate over a subset bucket plan.  Bit-identical to the
-    f64-only path by construction — the f32 pass only ever CLASSIFIES,
-    with tolerances that dominate every cast and rounding error
-    (validated bitwise across sizes/seeds in tests and on chip;
-    ambiguity measured ~0.1-1% of targets on fBm terrains).
-    Measured margins: no sampled target on seeded terrains was decided
-    by less than 1e-4 while the f32 evaluation deviates < 1e-6
-    (tools/exp notes in BENCH_NOTES round 3)."""
+# ---------------------------------------------------------------------------
+# Device-expanded float32 interval screen (round 4)
+#
+# The screen never touches f64 host planes: the host computes only f32
+# elevation DIFFERENCE planes (f64 subtract then cast — the subtraction
+# must happen in f64 or cancellation costs ~ulp(elev) absolute error),
+# a separable f32 center-angle plane for sorting/windows, and the tier
+# partition; everything else (corner angles, gradients, interpolation
+# slopes, tolerance fields) is expanded ON DEVICE from 5 small uploaded
+# fields per candidate (int32 idx, 3 diffs, shift flag).
+#
+# float32 error budget (validated by tools/measure_screen_errors.py on
+# both CPU and TPU backends; constants are >= 3x the measured maxima):
+#   _E_ANG: |f32 angle - f64 angle| for a0/a1/a2/a1e and the target's
+#           sort angle (arctan + quadrant assembly + 2pi unwrap).
+#   _TAU_C: cover band; must exceed 2*_E_ANG so the widened test
+#           (al > a0 - _TAU_C) captures every truly-covering pair and
+#           the narrowed test only fires on truly-covering pairs.
+#   _TAU_GR: RELATIVE gradient band (diff cast + f32 atan + divide —
+#           all relative error sources; see the note at the constant).
+#   _TAU_K: relative key band ((dx*ew)^2 + (dy*ns)^2 in f32).
+#   _KA_S:  interpolation angle-error amplification: |gi - gi_true| <=
+#           gband + span * KA / min(d10, d21) for in-span evaluation,
+#           gband = _TG_ABS + _TAU_GR * max|g|.
+#   _KA_W:  same plus linear EXTRAPOLATION across the tau_c cover band
+#           (maybe-pairs can sit up to _TAU_C + 2*_E_ANG outside the
+#           span; the interpolant is extended linearly, so near-edge
+#           spurious candidates get a TIGHT bound instead of the
+#           max-corner clamp — the clamp made ~3% of rugged-terrain
+#           targets ambiguous).
+#   gi is clipped to [min3, max3] before the tolerance is applied, so
+#   even degenerate segments (d -> 0) yield sound bounds: the true
+#   value lies in [min3 - gband, max3 + gband] for covering pairs.
+# ---------------------------------------------------------------------------
+
+_E_ANG = 2e-6
+_TAU_C = np.float32(6e-6)      # cover band (> 2*_E_ANG + margin)
+_TAU_K = np.float32(2e-6)      # relative key band
+_KA_S = np.float32(8 * _E_ANG)
+_KA_W = np.float32(8 * _E_ANG + 2 * 6e-6)
+# Gradient bands are RELATIVE to the gradient magnitude (plus a dust
+# floor): every error source in g = atan(diff32 / dist32) is relative —
+# diff32 is an f32 cast of an f64-computed difference (0.5 ulp REL),
+# dist/divide are ~1 ulp rel, and atan evaluates small arguments as
+# x*poly(x^2) so its implementation error is relative too (measured
+# 4e-7 * |g| worst-case across backends).  An ABSOLUTE band here was
+# the round-4 ambiguity disaster: far flat-water cells have |g| ~ 1e-3
+# and true decision margins ~ vp/d^2 ~ 1e-6 absolute = 7e-4 RELATIVE —
+# far above the f32 noise but below any sound absolute band, which
+# made ~25% of a 4096^2 water terrain ambiguous and tripped the f64
+# valve.
+_TAU_GR = np.float32(1.5e-6)   # relative gradient band (>= 3.7x measured)
+_TG_ABS = np.float32(1e-10)    # absolute dust floor for |g| ~ 0
+
+
+def _angle_plane32(h, w, vp_row, vp_col):
+    """Separable f32 center-angle plane: |dr| x (1/|dc|) outer product
+    through one arctan pass, quadrant-assembled with the same slab
+    rectangles as _calculate_angle_np.  Only used as a sort key / window
+    coordinate — any value within _E_ANG of the true f64 angle is sound
+    (windows are widened by _W_EPS >= 2*_E_ANG)."""
+    dr = np.abs(np.arange(h, dtype=np.float32) - np.float32(vp_row))
+    adc = np.abs(np.arange(w, dtype=np.float32) - np.float32(vp_col))
+    rec = np.where(adc == 0.0, np.float32(1.0), adc)
+    rec = (np.float32(1.0) / rec).astype(np.float32)
+    ang = np.arctan(dr[:, None] * rec[None, :])
+    out = np.zeros((h, w), dtype=np.float32)
+    r, c = _np_rects(h, w, vp_row, vp_col)
+    pi = np.float32(np.pi)
+    out[r[0], c[2]] = ang[r[0], c[2]]
+    out[r[0], c[0]] = pi - ang[r[0], c[0]]
+    out[r[2], c[0]] = pi + ang[r[2], c[0]]
+    out[r[2], c[2]] = np.float32(2.0 * np.pi) - ang[r[2], c[2]]
+    out[r[0], c[1]] = np.float32(np.pi / 2.0)
+    out[r[2], c[1]] = np.float32(3.0 * np.pi / 2.0)
+    out[r[1], c[2]] = 0.0
+    out[r[1], c[0]] = pi
+    out[r[1], c[1]] = 0.0
+    return out
+
+
+def _screen_cache(data_np, vp_row, vp_col, observer_elev, target_elev,
+                  ew_res, ns_res):
+    """Host half of the screen: f32 difference planes, f32 angle plane,
+    tier partition (ONE global argsort + a stable tier re-sort instead
+    of per-tier argsorts), and crossing-cell duplication.
+
+    Crossing cells — spans wrapping through angle 0 — are exactly the
+    east ray (row == vp_row, col > vp_col; structural, verified against
+    a0 > a2 in tests).  Each appears twice in its tier table: at its
+    center angle 0 covering [a0 - 2pi, a2], and as a +2pi copy (sort
+    key 2pi) covering [a0, a2 + 2pi]; both interpolate identically to
+    the f64 predicate's unwrap, so no bucket needs crossing-aware
+    logic."""
+    h, w = data_np.shape
+    vp_elev = data_np[vp_row, vp_col] + observer_elev
+    d_c = (data_np - vp_elev).astype(np.float32).ravel()
+    d_e = (_corner_elev_np(data_np, vp_row, vp_col, enter=True)
+           - vp_elev).astype(np.float32).ravel()
+    d_x = (_corner_elev_np(data_np, vp_row, vp_col, enter=False)
+           - vp_elev).astype(np.float32).ravel()
+    d_t = (data_np + target_elev - vp_elev).astype(np.float32).ravel()
+    a1 = _angle_plane32(h, w, vp_row, vp_col).ravel()
+
+    dr = np.arange(h, dtype=np.float32) - np.float32(vp_row)
+    dc = np.arange(w, dtype=np.float32) - np.float32(vp_col)
+    rho = np.hypot(np.abs(dr)[:, None], np.abs(dc)[None, :]).ravel()
+    bounds = np.array(_TIER_BOUNDS, dtype=np.float32)
+    tid = np.searchsorted(bounds, rho, side="left")
+    order = np.argsort(a1, kind="stable")
+    ord2 = order[np.argsort(tid[order], kind="stable")]
+    counts = np.bincount(tid, minlength=bounds.size + 1)
+    two_pi = np.float32(2.0 * np.pi)
+
+    def extend(idx_sorted):
+        cross = (((idx_sorted // w) == vp_row)
+                 & ((idx_sorted % w) > vp_col))
+        cidx = idx_sorted[cross]
+        ext = np.concatenate([idx_sorted, cidx])
+        keys = np.concatenate([a1[idx_sorted],
+                               np.full(cidx.size, two_pi, np.float32)])
+        shifted = np.zeros(ext.size, dtype=bool)
+        shifted[idx_sorted.size:] = True
+        return ext.astype(np.int64), keys, shifted
+
+    glob_idx, _, glob_shift = extend(ord2[:counts[0]])
+    off = int(counts[0])
+    tiers = []
+    for t in range(1, counts.size):
+        cnt = int(counts[t])
+        if cnt == 0:
+            continue
+        tidx = ord2[off:off + cnt]
+        off += cnt
+        W = asin(min(1.0, 0.7071067811865476 / float(bounds[t - 1]))) \
+            + _W_EPS
+        tiers.append(extend(tidx) + (W,))
+    return dict(a1=a1, d_c=d_c, d_e=d_e, d_x=d_x, d_t=d_t,
+                glob=(glob_idx, glob_shift), tiers=tiers, order=order,
+                vp_elev=vp_elev, shape=(h, w))
+
+
+def _screen_build_tables(sc, glob_idx, glob_shift, tiers, tier_shifts):
+    """[glob, tier...] screen-input tables: per candidate only int32
+    idx, the 3 f32 elevation diffs, and the crossing-copy flag — the
+    13 derived predicate fields are expanded on device
+    (_expand_table), so host gather+upload volume is ~16 B/candidate
+    instead of ~52."""
+    def tab(idx, shifted, L):
+        m = idx.size
+        out = {
+            "idx": np.full(L, -1, np.int32),
+            "sh": np.zeros(L, dtype=bool),
+            "dc": np.zeros(L, np.float32),
+            "de": np.zeros(L, np.float32),
+            "dx": np.zeros(L, np.float32),
+        }
+        out["idx"][:m] = idx
+        out["sh"][:m] = shifted
+        out["dc"][:m] = sc["d_c"][idx]
+        out["de"][:m] = sc["d_e"][idx]
+        out["dx"][:m] = sc["d_x"][idx]
+        return out
+
+    host = [tab(glob_idx, glob_shift, _round_up(glob_idx.size, 1024))]
+    metas = []
+    for (tidx, los, E), shifted in zip(tiers, tier_shifts):
+        L = max(E, _round_up(tidx.size, 16384))
+        host.append(tab(tidx, shifted, L))
+        metas.append((np.minimum(np.maximum(los, 0),
+                                 L - E).astype(np.int32), E))
+    offs = tuple(int(o) for o in
+                 np.cumsum([0] + [t["idx"].size for t in host]))
+    packed = {f: jnp.asarray(np.concatenate([t[f] for t in host]))
+              for f in host[0]}
+    return packed, offs, metas
+
+
+def _expand_table(tab, w, vp_row, vp_col, ew, ns):
+    """Per-candidate derived fields, f32, computed on device from
+    (idx, diffs, shift): corner angles via the shared quadrant table,
+    gradients, unwrapped span/node, interpolation slopes, [min3, max3]
+    clip range, and the sure/maybe tolerance fields.  Validity (pad
+    entries, NaN elevation, the viewpoint itself) is folded into the
+    cover bounds (a0w/a0n = +inf kills both tests)."""
+    idx = tab["idx"]
+    safe = jnp.maximum(idx, 0)
+    row = safe // w
+    col = safe - row * w
+    dy = (row - vp_row).astype(jnp.float32)
+    dx = (col - vp_col).astype(jnp.float32)
+    e_dy, e_dx, x_dy, x_dx = _corner_offsets(row, col, vp_row, vp_col,
+                                             xp=jnp)
+    ey0 = dy + e_dy
+    ex0 = dx + e_dx
+    ey2 = dy + x_dy
+    ex2 = dx + x_dx
+    a0 = _calculate_angle(ex0, ey0, 0.0, 0.0, xp=jnp)
+    a1 = _calculate_angle(dx, dy, 0.0, 0.0, xp=jnp)
+    a2 = _calculate_angle(ex2, ey2, 0.0, 0.0, xp=jnp)
+
+    def grad(d, py, px):
+        d2 = (px * ew) ** 2 + (py * ns) ** 2
+        return jnp.arctan(d / jnp.sqrt(jnp.where(d2 == 0, 1.0, d2)))
+
+    g0 = grad(tab["de"], ey0, ex0)
+    g1 = grad(tab["dc"], dy, dx)
+    g2 = grad(tab["dx"], ey2, ex2)
+    key = (dx * ew) ** 2 + (dy * ns) ** 2
+
+    two_pi = jnp.float32(2.0 * PI)
+    zero = jnp.float32(0.0)
+    crossing = (dy == 0.0) & (dx > 0.0)
+    sh = tab["sh"]
+    a0u = a0 - jnp.where(crossing & ~sh, two_pi, zero)
+    shift2 = jnp.where(crossing & sh, two_pi, zero)
+    a2u = a2 + shift2
+    a1e = a1 + shift2
+    d10 = a1e - a0u
+    d21 = a2u - a1e
+    tiny = jnp.float32(1e-12)
+    s01 = (g0 - g1) / jnp.maximum(d10, tiny)
+    s21 = (g2 - g1) / jnp.maximum(d21, tiny)
+    mx = jnp.maximum(g0, jnp.maximum(g1, g2))
+    mn = jnp.minimum(g0, jnp.minimum(g1, g2))
+    span = mx - mn
+    dmin = jnp.maximum(jnp.minimum(d10, d21), tiny)
+    one = jnp.float32(1.0)
+    gband = _TG_ABS + _TAU_GR * jnp.maximum(jnp.abs(mn), jnp.abs(mx))
+    tol_s = gband + span * jnp.minimum(one, _KA_S / dmin)
+    tol_w = gband + span * jnp.minimum(one, _KA_W / dmin)
+
+    valid = ((idx >= 0) & jnp.isfinite(tab["dc"])
+             & ((row != vp_row) | (col != vp_col)))
+    inf = jnp.float32(jnp.inf)
+    a0w = jnp.where(valid, a0u - _TAU_C, inf)
+    a0n = jnp.where(valid, a0u + _TAU_C, inf)
+    return dict(a0w=a0w, a0n=a0n, a2w=a2u + _TAU_C, a2n=a2u - _TAU_C,
+                a1e=a1e, g1=g1, s01=s01, s21=s21, mn=mn, mx=mx,
+                ts=tol_s, tw=tol_w, key=key, idx=idx)
+
+
+def _screen_pairs(al, kt_lo, kt_hi, it, c):
+    """Sound f32 (hi, lo) bounds per target over one candidate block —
+    the lean pair kernel: 2 interval tests, 2 key tests, one linear
+    interpolation (slopes precomputed per candidate, no divides, no
+    crossing selects)."""
+    ninf = jnp.float32(-jnp.inf)
+    kb = c["key"][None]
+    not_self = c["idx"][None] != it
+    maybe = ((al > c["a0w"][None]) & (al < c["a2w"][None])
+             & (kb < kt_hi) & not_self)
+    sure = ((al > c["a0n"][None]) & (al < c["a2n"][None])
+            & (kb < kt_lo) & not_self)
+    d = al - c["a1e"][None]
+    gi = c["g1"][None] + d * jnp.where(d < 0, -c["s01"][None],
+                                       c["s21"][None])
+    gi = jnp.clip(gi, c["mn"][None], c["mx"][None])
+    hi = jnp.max(jnp.where(maybe, gi + c["tw"][None], ninf), axis=1)
+    lo = jnp.max(jnp.where(sure, gi - c["ts"][None], ninf), axis=1)
+    return hi, lo
+
+
+@partial(jax.jit, static_argnames=("offs", "A", "C", "Es", "w"))
+def _screen_run(packed, tperm, a1_t, d_t, tier_los, offs, A, C, Es, w,
+                vp_row, vp_col, ew, ns, vp_flat):
+    """One dispatch: carve the packed upload, expand every candidate
+    table, compute per-target gradients, and scan the A buckets —
+    returning per-target (visible, ambiguous) classification bits."""
+    tabs = _carve(packed, offs)
+    ex = tuple(_expand_table(t, w, vp_row, vp_col, ew, ns) for t in tabs)
+    glob = ex[0]
+    tiers = ex[1:]
+
+    row = tperm // w
+    col = tperm - row * w
+    dy = (row - vp_row).astype(jnp.float32)
+    dx = (col - vp_col).astype(jnp.float32)
+    key_t = (dx * ew) ** 2 + (dy * ns) ** 2
+    gt = jnp.arctan(d_t / jnp.sqrt(jnp.where(key_t == 0, 1.0, key_t)))
+    kt_hi = key_t * (1.0 + _TAU_K)
+    kt_lo = key_t * (1.0 - _TAU_K)
+
+    def body(_, k):
+        def sl(arr):
+            return jax.lax.dynamic_slice(arr, (k * C,), (C,))
+
+        al = sl(a1_t)[:, None]
+        khi = sl(kt_hi)[:, None]
+        klo = sl(kt_lo)[:, None]
+        it = sl(tperm)[:, None]
+        hi, lo = _screen_pairs(al, klo, khi, it, glob)
+        for tab, los, E in zip(tiers, tier_los, Es):
+            c = {f: jax.lax.dynamic_slice(v, (los[k],), (E,))
+                 for f, v in tab.items()}
+            h2, l2 = _screen_pairs(al, klo, khi, it, c)
+            hi = jnp.maximum(hi, h2)
+            lo = jnp.maximum(lo, l2)
+        gts = sl(gt)
+        tcls = _TG_ABS + _TAU_GR * jnp.abs(gts)
+        vis = hi <= gts - tcls
+        blk = lo > gts + tcls
+        # NaN targets fail both comparisons -> ambiguous; the viewpoint
+        # target's device gt is wrong (dist == 0 guard), force re-eval
+        amb = ~(vis | blk) | (sl(tperm) == vp_flat)
+        return None, (vis, amb)
+
+    _, (vis, amb) = jax.lax.scan(body, None, jnp.arange(A))
+    return vis, amb
+
+
+def _screened_visibility(data_np, vp_row, vp_col, observer_elev,
+                         target_elev, ew_res, ns_res, chunk, mark):
+    """Interval-screened exact visibility: the device-expanded float32
+    pass computes per target a SOUND [blocked_lo, blocked_hi] interval
+    for the max blocker gradient; targets whose interval straddles
+    their own gradient band (plus every NaN, plus the viewpoint) are
+    re-evaluated with the full float64 predicate over a subset bucket
+    plan built from cell_attrs_subset gathers — full f64 planes are
+    never computed unless the safety valve trips.  Bit-identical to
+    the f64-only path by construction: the f32 pass only CLASSIFIES,
+    with tolerances that dominate every rounding error (see the error
+    budget above; validated bitwise across sizes/seeds in tests and
+    against the pairwise oracle on chip)."""
     from ..utils import x64
-    mark = _phase_timer()
-    n = at["a1"].size
-    cache = _tier_cache(at, vp_row, vp_col)
-    tperm, glob_idx, tiers, A, C = _bucket_plan(at, vp_row, vp_col, chunk,
-                                                cache=cache)
+    h, w = data_np.shape
+    n = h * w
+    sc = _screen_cache(data_np, vp_row, vp_col, observer_elev,
+                       target_elev, ew_res, ns_res)
+    mark("cache")
+    plan_cache = (sc["glob"][0],
+                  [(ext, keys, W) for ext, keys, _, W in sc["tiers"]])
+    at32 = {"a1": sc["a1"]}
+    tperm, glob_idx, tiers, A, C = _bucket_plan(at32, vp_row, vp_col,
+                                                chunk, cache=plan_cache,
+                                                dense_order=sc["order"])
     mark("plan")
-    tgt32 = {
-        "a1": jnp.asarray(at["a1"][tperm].astype(np.float32)),
-        "key": jnp.asarray(at["key"][tperm].astype(np.float32)),
-        "idx": jnp.asarray(tperm.astype(np.int32)),
-    }
-    glob, tier_tabs, tier_los = _build_tables(at, glob_idx, tiers,
-                                              _blocker_table_screen)
+    tier_shifts = [sh for _, _, sh, _ in sc["tiers"]]
+    packed, offs, metas = _screen_build_tables(sc, glob_idx,
+                                               sc["glob"][1], tiers,
+                                               tier_shifts)
+    Es = tuple(E for _, E in metas)
+    tier_los = tuple(jnp.asarray(los) for los, _ in metas)
     mark("tables")
-    hi, lo = _eval_buckets_screen_run(tgt32, glob, tier_tabs, tier_los,
-                                      A, C)
-    hi = np.asarray(hi).ravel().astype(np.float64)
-    lo = np.asarray(lo).ravel().astype(np.float64)
+    vis_d, amb_d = _screen_run(
+        packed, jnp.asarray(tperm.astype(np.int32)),
+        jnp.asarray(sc["a1"][tperm]), jnp.asarray(sc["d_t"][tperm]),
+        tier_los, offs, A, C, Es, w,
+        jnp.int32(vp_row), jnp.int32(vp_col),
+        jnp.float32(ew_res), jnp.float32(ns_res),
+        jnp.int32(vp_row * w + vp_col))
+    vis = np.asarray(vis_d).ravel()
+    amb = np.asarray(amb_d).ravel()
     mark("screen+fetch")
 
-    gt32 = at["grad_t"][tperm].astype(np.float32).astype(np.float64)
-    tau_g = 1e-6
-    sure_vis = hi <= gt32 - tau_g
-    sure_blk = lo > gt32 + tau_g
-    amb = ~(sure_vis | sure_blk)  # NaN comparisons land here
-
     visible = np.empty(n, dtype=bool)
-    visible[tperm] = sure_vis
+    visible[tperm] = vis
 
     amb_idx = np.unique(tperm[amb])
     if amb_idx.size:
         if amb_idx.size > max(0.05 * n, 4096):
-            # safety valve: screening failed to separate — run full f64
+            # safety valve: screening failed to separate (flat/ramp
+            # degeneracies) — run full f64 over the same (extended)
+            # candidate tables; duplicates evaluate identically
+            at = cell_attrs_host(data_np, vp_row, vp_col, observer_elev,
+                                 target_elev, ew_res, ns_res)
             with x64():
                 vis_np = _run_buckets_f64(at, tperm, glob_idx, tiers,
                                           A, C)
             visible[tperm] = vis_np
+            mark("reeval/full-valve")
             return visible
         # pad the subset to a power-of-two length quantum (stable
         # compile shapes); edge-repeat duplicates write equal values
         L = 1 << (max(int(amb_idx.size), 128) - 1).bit_length()
         sub = np.pad(amb_idx, (0, L - amb_idx.size), mode="edge")
         tperm_a, glob_i, tiers_a, A_a, C_a = _bucket_plan(
-            at, vp_row, vp_col, min(chunk, 128), targets=sub,
-            cache=cache)
-        mark("reeval/plan")
+            at32, vp_row, vp_col, min(chunk, 128), targets=sub,
+            cache=plan_cache)
+        mark(f"reeval/plan amb={amb_idx.size} A={A_a} "
+             f"sumE={sum(E for _, _, E in tiers_a)}")
         # route by data volume: the gathered path moves A*sum(E)
-        # elements (host fancy-gather + upload), the table path the
-        # full padded tiers (~n).  Few ambiguous targets -> gathered
-        # wins (38 targets at 1024^2: 2.5 s -> 0.9 s); many -> the
-        # A*E slices dwarf the tables (2048^2: gathered-everywhere
-        # measured 38 s of re-eval vs ~7 s for tables).  Both paths
+        # elements (subset-attrs gather + upload), the table path the
+        # full padded tiers (~n) and needs the full f64 planes.  Both
         # evaluate identical candidate supersets with the identical
         # f64 predicate => bit-identical either way.
         gath_elems = sum(A_a * E for _, _, E in tiers_a)
@@ -428,128 +788,21 @@ def _screened_visibility(at, vp_row, vp_col, chunk):
                         for tidx, _, E in tiers_a)
         with x64():
             if gath_elems < tab_elems:
-                vis_a = _run_buckets_f64_gathered(at, tperm_a, glob_i,
-                                                  tiers_a, A_a, C_a,
-                                                  mark=mark)
+                attrs_of = cell_attrs_subset_fn(
+                    data_np, vp_row, vp_col, observer_elev, target_elev,
+                    ew_res, ns_res)
+                vis_a = _run_buckets_f64_gathered(attrs_of, tperm_a,
+                                                  glob_i, tiers_a,
+                                                  A_a, C_a, mark=mark)
             else:
+                at = cell_attrs_host(data_np, vp_row, vp_col,
+                                     observer_elev, target_elev,
+                                     ew_res, ns_res)
                 vis_a = _run_buckets_f64(at, tperm_a, glob_i, tiers_a,
                                          A_a, C_a)
         visible[tperm_a] = vis_a
     mark("reeval")
     return visible
-
-
-# float32 interval tolerances (see _interp_blocked_screen): generous
-# multiples of worst-case cast+rounding bounds for values in the
-# predicate's ranges (angles <= 4*pi unwrapped, gradients in
-# [-pi/2, pi/2], keys compared relatively)
-_TAU_A = np.float32(4e-6)    # absolute angle error bound
-_TAU_C = np.float32(1e-5)    # cover-comparison band (> 2*_TAU_A)
-_TAU_G = np.float32(1e-6)    # gradient value band
-_TAU_K = np.float32(2e-6)    # relative key band
-_D_RISKY = np.float32(6.4e-5)  # 16*_TAU_A: segment too thin to divide
-
-
-def _interp_blocked_screen(al, key_t, idx_t, c):
-    """(blocked_hi, blocked_lo) per target over one candidate block —
-    sound float32 bounds on the f64 `_interp_blocked_max` result.
-
-    Soundness: maybe-active (widened cover/closer bands) is a superset
-    of truly-active, sure-active (narrowed bands) a subset; for every
-    truly-active pair the true interpolated gradient lies in
-    [min(g0,g1,g2)-tau_g, max(g0,g1,g2)+tau_g] (in-range piecewise
-    interpolation of cast values), so the clamped per-pair bounds hold
-    even where the f32 ratio is untrustworthy; where both segment
-    widths are comfortably > the angle-error bound the tighter
-    gi +- tol bound applies, with tol covering the division's error
-    amplification (8*tau_a / segment width, capped).  Branch decisions
-    the f64 path takes on comparisons are either precomputed in f64
-    (crossing, candidate unwrap — shipped as data) or proven stable for
-    sure-active pairs (the narrowed cover band keeps |al - a0| > tau_c
-    - tau_a, so the target-unwrap comparison cannot flip)."""
-    crossing = c["crossing"][None]
-    a0 = c["a0"][None]
-    a2 = c["a2"][None]
-    a1e = c["a1e"][None]
-    a2e = c["a2e"][None]
-    g0 = c["g0"][None]
-    g1 = c["g1"][None]
-    g2 = c["g2"][None]
-    base = (c["idx"][None] != idx_t) & c["valid_b"][None]
-
-    cov_w = jnp.where(crossing,
-                      (al > a0 - _TAU_C) | (al < a2 + _TAU_C),
-                      (al > a0 - _TAU_C) & (al < a2 + _TAU_C))
-    cov_n = jnp.where(crossing,
-                      (al > a0 + _TAU_C) | (al < a2 - _TAU_C),
-                      (al > a0 + _TAU_C) & (al < a2 - _TAU_C))
-    key_b = c["key"][None]
-    maybe = cov_w & (key_b < key_t * (1.0 + _TAU_K)) & base
-    sure = cov_n & (key_b < key_t * (1.0 - _TAU_K)) & base
-
-    two_pi = jnp.float32(2.0 * PI)
-    ale = jnp.where(crossing & (al < a0), al + two_pi, al)
-    seg1 = ale < a1e
-    seg2 = ale > a1e
-    d10 = jnp.abs(a1e - a0)
-    d21 = jnp.abs(a2e - a1e)
-    d10s = jnp.where(d10 > 0, d10, jnp.float32(1.0))
-    d21s = jnp.where(d21 > 0, d21, jnp.float32(1.0))
-    gi = jnp.where(
-        seg1, g1 + (g0 - g1) * (a1e - ale) / d10s,
-        jnp.where(seg2, g1 + (g2 - g1) * (ale - a1e) / d21s, g1))
-
-    min3 = jnp.minimum(g0, jnp.minimum(g1, g2))
-    max3 = jnp.maximum(g0, jnp.maximum(g1, g2))
-    span = max3 - min3
-    dmin = jnp.minimum(d10s, d21s)
-    rt = jnp.minimum(jnp.float32(1.0),
-                     (8.0 * _TAU_A) / jnp.maximum(dmin, jnp.float32(1e-9)))
-    tol = _TAU_G + span * rt
-    risky = (d10 < _D_RISKY) | (d21 < _D_RISKY)
-    hi_p = jnp.where(risky, max3 + _TAU_G,
-                     jnp.minimum(gi + tol, max3 + _TAU_G))
-    lo_p = jnp.where(risky, min3 - _TAU_G,
-                     jnp.maximum(gi - tol, min3 - _TAU_G))
-    ninf = jnp.float32(-jnp.inf)
-    hi = jnp.max(jnp.where(maybe, hi_p, ninf), axis=1)
-    lo = jnp.max(jnp.where(sure, lo_p, ninf), axis=1)
-    return hi, lo
-
-
-@partial(jax.jit, static_argnames=("A", "C", "Es"))
-def _eval_buckets_screen_impl(tgt, glob, tabs, tier_los, A, C, Es):
-    def body(_, k):
-        def sl(arr):
-            return jax.lax.dynamic_slice(arr, (k * C,), (C,))
-
-        al = sl(tgt["a1"])[:, None]
-        kt = sl(tgt["key"])[:, None]
-        it = sl(tgt["idx"])[:, None]
-
-        his = []
-        los_ = []
-        h, l = _interp_blocked_screen(al, kt, it, glob)
-        his.append(h)
-        los_.append(l)
-        for tab, los, E in zip(tabs, tier_los, Es):
-            lo = los[k]
-            c = {f: jax.lax.dynamic_slice(v, (lo,), (E,))
-                 for f, v in tab.items()}
-            h, l = _interp_blocked_screen(al, kt, it, c)
-            his.append(h)
-            los_.append(l)
-        return None, (reduce(jnp.maximum, his), reduce(jnp.maximum, los_))
-
-    _, (hi, lo) = jax.lax.scan(body, None, jnp.arange(A))
-    return hi, lo
-
-
-def _eval_buckets_screen_run(tgt, glob, tier_tabs, tier_los, A, C):
-    tabs = tuple(tab for tab, _ in tier_tabs)
-    Es = tuple(E for _, E in tier_tabs)
-    return _eval_buckets_screen_impl(tgt, glob, tabs, tuple(tier_los),
-                                     A, C, Es)
 
 
 @partial(jax.jit, static_argnames=("A", "C", "Es"))
