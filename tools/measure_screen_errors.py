@@ -27,7 +27,8 @@ from xrspatial_tpu.kernels import viewshed_exact as VE
 from xrspatial_tpu.kernels.viewshed import cell_attrs_host
 
 
-def measure(size, seed, res=(1.5, -0.75)):
+def measure(size, seed, res=(1.5, -0.75), f64=False):
+    from xrspatial_tpu.utils import x64
     rng = np.random.default_rng(seed)
     data = (rng.random((size, size)) * 500).astype(np.float64)
     data += np.linspace(0, 300, size)[:, None]          # ramp component
@@ -39,20 +40,23 @@ def measure(size, seed, res=(1.5, -0.75)):
     vp_elev = at["vp_elev"]
 
     # expand EVERY cell on device exactly as the screen does
+    ft = np.float64 if f64 else np.float32
     idx = np.arange(n, dtype=np.int32)
-    d_c = (data - vp_elev).astype(np.float32).ravel()
+    d_c = (data - vp_elev).astype(ft).ravel()
     from xrspatial_tpu.kernels.viewshed import _corner_elev_np
     d_e = (_corner_elev_np(data, vp[0], vp[1], True)
-           - vp_elev).astype(np.float32).ravel()
+           - vp_elev).astype(ft).ravel()
     d_x = (_corner_elev_np(data, vp[0], vp[1], False)
-           - vp_elev).astype(np.float32).ravel()
-    tab = {"idx": jnp.asarray(idx), "sh": jnp.zeros(n, bool),
-           "dc": jnp.asarray(d_c), "de": jnp.asarray(d_e),
-           "dx": jnp.asarray(d_x)}
-    ex = jax.jit(VE._expand_table, static_argnames=("w",))(
-        tab, w, jnp.int32(vp[0]), jnp.int32(vp[1]),
-        jnp.float32(ew), jnp.float32(ns))
-    ex = {k: np.asarray(v) for k, v in ex.items()}
+           - vp_elev).astype(ft).ravel()
+    taus = VE._TAUS_F64 if f64 else VE._TAUS_F32
+    with x64() if f64 else _null():
+        tab = {"idx": jnp.asarray(idx), "sh": jnp.zeros(n, bool),
+               "dc": jnp.asarray(d_c), "de": jnp.asarray(d_e),
+               "dx": jnp.asarray(d_x)}
+        ex = jax.jit(VE._expand_table, static_argnames=("w", "taus"))(
+            tab, w, jnp.int32(vp[0]), jnp.int32(vp[1]),
+            jnp.asarray(ew, ft), jnp.asarray(ns, ft), taus)
+        ex = {k: np.asarray(v) for k, v in ex.items()}
 
     crossing = at["a0"] > at["a2"]
     a0_true = np.where(crossing, at["a0"] - 2 * np.pi, at["a0"])
@@ -67,10 +71,10 @@ def measure(size, seed, res=(1.5, -0.75)):
         return m
 
     errs = {}
-    # a0w/a0n embed +-_TAU_C; recover the raw unwrapped angle
-    errs["a0"] = err("a0", ex["a0w"] + float(VE._TAU_C), a0_true)
+    # a0w/a0n embed +-tau_c; recover the raw unwrapped angle
+    errs["a0"] = err("a0", ex["a0w"] + taus[0], a0_true)
     errs["a1e"] = err("a1e", ex["a1e"], at["a1"])
-    errs["a2"] = err("a2", ex["a2w"] - float(VE._TAU_C), at["a2"])
+    errs["a2"] = err("a2", ex["a2w"] - taus[0], at["a2"])
     # gradient errors are RELATIVE to |g| (the band in production is
     # _TG_ABS + _TAU_GR * max|g|)
     errs["g1"] = err("g1", ex["g1"], at["g1"], rel=True)
@@ -80,34 +84,48 @@ def measure(size, seed, res=(1.5, -0.75)):
     errs["key"] = err("key", ex["key"], at["key"], rel=True)
 
     # target-side gradient as _screen_run computes it
-    d_t = (data + 0.5 - vp_elev).astype(np.float32).ravel()
+    d_t = (data + 0.5 - vp_elev).astype(ft).ravel()
     rows, cols = np.divmod(np.arange(n), w)
-    dy = (rows - vp[0]).astype(np.float32)
-    dx2 = (cols - vp[1]).astype(np.float32)
-    key32 = (dx2 * np.float32(ew)) ** 2 + (dy * np.float32(ns)) ** 2
+    dy = (rows - vp[0]).astype(ft)
+    dx2 = (cols - vp[1]).astype(ft)
+    key32 = (dx2 * ft(ew)) ** 2 + (dy * ft(ns)) ** 2
     gt32 = np.arctan(d_t / np.sqrt(np.where(key32 == 0, 1, key32)))
     errs["gt"] = err("grad_t", gt32, at["grad_t"],
                      mask=ok & ~at["is_vp"], rel=True)
-    # sort-key angle plane vs true f64 center angle
-    errs["a1h"] = err("a1 host", VE._angle_plane32(h, w, vp[0],
-                                                   vp[1]).ravel(),
-                      at["a1"])
+    if not f64:
+        # sort-key angle plane vs true f64 center angle
+        errs["a1h"] = err("a1 host", VE._angle_plane32(h, w, vp[0],
+                                                       vp[1]).ravel(),
+                          at["a1"])
     return errs
 
 
+class _null:
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *a):
+        return False
+
+
 if __name__ == "__main__":
+    f64 = "--f64" in sys.argv
     worst = {}
     for size, seed in [(256, 0), (256, 1), (512, 2), (1024, 3)]:
-        print(f"== {size}^2 seed {seed} on {jax.devices()[0].platform}")
-        for k, v in measure(size, seed).items():
+        print(f"== {size}^2 seed {seed} on {jax.devices()[0].platform}"
+              f"{' f64' if f64 else ''}")
+        for k, v in measure(size, seed, f64=f64).items():
             worst[k] = max(worst.get(k, 0.0), v)
     print("\nWORST:", {k: f"{v:.3e}" for k, v in worst.items()})
-    print(f"budget: _E_ANG={VE._E_ANG:.1e} (angles abs), "
-          f"_TAU_GR={float(VE._TAU_GR):.1e} (gradients REL), "
-          f"_TAU_K={float(VE._TAU_K):.1e} (key rel)")
-    ang = max(worst["a0"], worst["a1e"], worst["a2"], worst["a1h"])
+    taus = VE._TAUS_F64 if f64 else VE._TAUS_F32
+    e_ang = taus[0] / 3.0 if f64 else VE._E_ANG
+    print(f"budget: E_ANG={e_ang:.1e} (angles abs), "
+          f"TAU_GR={taus[3]:.1e} (gradients REL), "
+          f"TAU_K={taus[5]:.1e} (key rel)")
+    ang = max(worst["a0"], worst["a1e"], worst["a2"],
+              worst.get("a1h", 0.0))
     g = max(worst["g1"], worst["mx"], worst["gt"])
-    ok = (ang * 3 <= VE._E_ANG * 1.01
-          and g * 3 <= float(VE._TAU_GR) * 1.01
-          and worst["key"] * 3 <= float(VE._TAU_K) * 1.01)
+    ok = (ang * 3 <= e_ang * 1.01
+          and g * 3 <= taus[3] * 1.01
+          and worst["key"] * 3 <= taus[5] * 1.01)
     print("BUDGET", "OK" if ok else "VIOLATED")

@@ -167,14 +167,15 @@ def _corner_offsets_np(h, w, vp_row, vp_col):
     return tuple(planes)
 
 
-def _corner_elev_np(data, vp_row, vp_col, enter):
+def _corner_elev_np(data, vp_row, vp_col, enter, pad=None):
     """Host fast path of `_corner_elev`: the (sy, sx) selection masks
     are a 4-rectangle pinwheel around the viewpoint, so the 4-neighbor
     corner average is computed once per cell on its own slab (the
     generic path evaluates it 4x over the full array and selects).
-    ``enter`` picks the enter- vs exit-corner pinwheel orientation."""
+    ``enter`` picks the enter- vs exit-corner pinwheel orientation;
+    ``pad`` optionally supplies the NaN-padded plane."""
     h, w = data.shape
-    p = np.pad(data, 1, constant_values=np.nan)
+    p = np.pad(data, 1, constant_values=np.nan) if pad is None else pad
     out = data.copy()  # covers the viewpoint cell (zero offsets)
     vr, vc = vp_row, vp_col
     if enter:
@@ -199,6 +200,18 @@ def _corner_elev_np(data, vp_row, vp_col, enter):
         avg = (diag + vert + horiz + center) / 4.0
         out[r0:r1, c0:c1] = np.where(np.isnan(avg), center, avg)
     return out
+
+
+def _corner_diffs_np(d2, vp_row, vp_col, enter=True, pad=None):
+    """`_corner_elev_np` evaluated on a difference plane (elev -
+    vp_elev): same pinwheel rectangles and (diag+vert+horiz+center)/4
+    association, but averaging DIFFS — equal to avg-then-subtract up to
+    f64 association ulps.  Only the interval screen consumes this (its
+    tolerance bands dominate the drift by >10^4); the exact f64 oracle
+    paths keep `_corner_elev_np` on raw elevations.  ``pad`` optionally
+    shares the NaN-padded plane between the enter/exit calls (a 1 GB
+    allocation at 4096^2)."""
+    return _corner_elev_np(d2, vp_row, vp_col, enter=enter, pad=pad)
 
 
 def _gradient_np(dy_px, dx_px, elev, vp_elev, ew_res, ns_res, vp_cell):

@@ -37,9 +37,10 @@ import jax.numpy as jnp
 import numpy as np
 
 from .viewshed import (INVISIBLE, PI, _calculate_angle,  # noqa: F401
-                       _corner_elev_np, _corner_offsets, _interp_blocked_max,
-                       _np_rects, _visibility_epilogue, cell_attrs_host,
-                       cell_attrs_subset, cell_attrs_subset_fn)
+                       _corner_diffs_np, _corner_elev_np, _corner_offsets,
+                       _interp_blocked_max, _np_rects, _visibility_epilogue,
+                       cell_attrs_host, cell_attrs_subset,
+                       cell_attrs_subset_fn)
 
 __all__ = ["viewshed_grid_exact"]
 
@@ -135,8 +136,13 @@ def _bucket_plan(at, vp_row, vp_col, C, targets=None, cache=None,
     if dense:
         A = -(-n_t // C)
         lo_t = np.minimum(np.arange(A, dtype=np.int64) * C, n_t - C)
-        tperm = targets[perm[(lo_t[:, None]
-                              + np.arange(C)[None, :]).ravel()]]
+        if n_t % C == 0:
+            # buckets tile the permutation exactly — skip the 16.7M
+            # two-level fancy gather
+            tperm = targets[perm]
+        else:
+            tperm = targets[perm[(lo_t[:, None]
+                                  + np.arange(C)[None, :]).ravel()]]
         starts = a1s[lo_t]
         ends = a1s[lo_t + C - 1]
     else:
@@ -148,40 +154,46 @@ def _bucket_plan(at, vp_row, vp_col, C, targets=None, cache=None,
         # sub-chunk each cell by C, and pad short buckets by repeating
         # their last member (duplicates write equal values).
         #
-        # dmax comes from the cost model: with D = candidate density
-        # per radian, B = the irreducible per-bucket candidate count
-        # (sum over tiers of each tier's 2W halfspan window), and
-        # Theta = the total angular extent actually occupied by the
-        # subset, cost(dmax) ~ n_t*D*dmax + Theta*C*B/dmax (+ consts),
-        # minimized at dmax* = sqrt(Theta*C*B / (n_t*D)).  A naive
-        # density rule (2C targets per cell) measured sumE = 76,800 at
-        # 2048^2 because ambiguous targets CLUSTER in angle; the cost
-        # model gives ~2k for the same subset.
-        D = n_all / (2.0 * np.pi)
-        B = sum(2.0 * W * ta1.size for _, ta1, W in tier_list) \
-            / (2.0 * np.pi) + 1.0
+        # dmax trades bucket FILL against window width: closed-form
+        # models mispredict both the pow2 window rounding and the
+        # subset's angular clustering, so sweep a geometric dmax menu
+        # and take the plan minimizing the ACTUAL evaluation volume
+        # A * sumE (each candidate plan is just searchsorted calls).
         g0 = 4.0 * C / max(n_all, 1) * 2.0 * np.pi
-        occ = np.unique((a1s / g0).astype(np.int64)).size
-        theta = occ * g0
-        dmax = float(np.sqrt(max(theta * C * B / (n_t * D), g0 * g0)))
-        dmax = min(max(dmax, g0), 0.5)
-        cell = np.floor(a1s / dmax).astype(np.int64)
-        first = np.zeros(n_t, dtype=bool)
-        first[0] = True
-        first[1:] = cell[1:] != cell[:-1]
-        cell_start = np.maximum.accumulate(
-            np.where(first, np.arange(n_t, dtype=np.int64), 0))
-        new_b = ((np.arange(n_t, dtype=np.int64) - cell_start) % C) == 0
-        s_b = np.nonzero(new_b)[0]
-        e_b = np.append(s_b[1:], n_t)
-        # pad the bucket COUNT to a power of two (the scan length is a
-        # compile-time constant; a data-dependent A would recompile per
-        # call) by repeating the last bucket — equal writes, inert
-        A = 1 << (max(int(s_b.size), 8) - 1).bit_length()
-        pad = A - s_b.size
-        if pad:
-            s_b = np.append(s_b, np.full(pad, s_b[-1]))
-            e_b = np.append(e_b, np.full(pad, e_b[-1]))
+        arange_t = np.arange(n_t, dtype=np.int64)
+        best = None
+        for mult in (1.0, 4.0, 16.0, 64.0, 256.0):
+            dmax = min(g0 * mult, 7.0)
+            cell = np.floor(a1s / dmax).astype(np.int64)
+            first = np.zeros(n_t, dtype=bool)
+            first[0] = True
+            first[1:] = cell[1:] != cell[:-1]
+            cell_start = np.maximum.accumulate(
+                np.where(first, arange_t, 0))
+            new_b = ((arange_t - cell_start) % C) == 0
+            s_b = np.nonzero(new_b)[0]
+            e_b = np.append(s_b[1:], n_t)
+            # pad the bucket COUNT to a power of two (the scan length
+            # is a compile-time constant; a data-dependent A would
+            # recompile per call) by repeating the last bucket
+            A = 1 << (max(int(s_b.size), 8) - 1).bit_length()
+            pad = A - s_b.size
+            if pad:
+                s_b = np.append(s_b, np.full(pad, s_b[-1]))
+                e_b = np.append(e_b, np.full(pad, e_b[-1]))
+            starts = a1s[s_b]
+            ends = a1s[e_b - 1]
+            sumE = 0
+            for tidx, ta1, W in tier_list:
+                los_t = np.searchsorted(ta1, starts - W, side="left")
+                his_t = np.searchsorted(ta1, ends + W, side="right")
+                need = max(int((his_t - los_t).max()), 128)
+                sumE += 1 << (need - 1).bit_length()
+            if best is None or A * sumE < best[0]:
+                best = (A * sumE, s_b, e_b, A)
+            if dmax >= 7.0:
+                break
+        _, s_b, e_b, A = best
         member = s_b[:, None] + np.minimum(np.arange(C)[None, :],
                                            (e_b - s_b - 1)[:, None])
         tperm = targets[perm[member.ravel()]]
@@ -451,6 +463,20 @@ _KA_W = np.float32(8 * _E_ANG + 2 * 6e-6)
 _TAU_GR = np.float32(1.5e-6)   # relative gradient band (>= 3.7x measured)
 _TG_ABS = np.float32(1e-10)    # absolute dust floor for |g| ~ 0
 
+# tolerance sets for the two screen levels, as static tuples
+# (tau_c, ka_s, ka_w, tau_gr, tg_abs, tau_k).  Level 1 (f32) bands are
+# the constants above.  Level 2 re-screens level-1-ambiguous targets in
+# DEVICE float64 (exact f64 diffs uploaded; angles/gradients from exact
+# integer coordinates), where the only deviations from the host-numpy
+# f64 attributes are libm-vs-XLA ulp differences — measured < 9e-16 on
+# CPU and < 5.2e-14 on TPU's emulated f64
+# (tools/measure_screen_errors.py --f64), so 1e-12-scale bands classify
+# everything except true f64-epsilon ties, which fall through to the
+# host-f64 oracle evaluation.
+_TAUS_F32 = (float(_TAU_C), float(_KA_S), float(_KA_W),
+             float(_TAU_GR), float(_TG_ABS), float(_TAU_K))
+_TAUS_F64 = (1e-12, 8e-12, 1e-11, 1e-12, 1e-30, 1e-12)
+
 
 def _angle_plane32(h, w, vp_row, vp_col):
     """Separable f32 center-angle plane: |dr| x (1/|dc|) outer product
@@ -493,27 +519,44 @@ def _screen_cache(data_np, vp_row, vp_col, observer_elev, target_elev,
     logic."""
     h, w = data_np.shape
     vp_elev = data_np[vp_row, vp_col] + observer_elev
-    d_c = (data_np - vp_elev).astype(np.float32).ravel()
-    d_e = (_corner_elev_np(data_np, vp_row, vp_col, enter=True)
-           - vp_elev).astype(np.float32).ravel()
-    d_x = (_corner_elev_np(data_np, vp_row, vp_col, enter=False)
-           - vp_elev).astype(np.float32).ravel()
-    d_t = (data_np + target_elev - vp_elev).astype(np.float32).ravel()
+    d2 = data_np - vp_elev
+    # corner diffs are averaged on the DIFF plane (association differs
+    # from avg-then-subtract by f64 ulps — far inside both screen
+    # levels' bands; the host-f64 oracle keeps its own exact attrs)
+    pad = np.pad(d2, 1, constant_values=np.nan)
+    d_e64 = _corner_diffs_np(d2, vp_row, vp_col, pad=pad)
+    d_x64 = _corner_diffs_np(d2, vp_row, vp_col, enter=False, pad=pad)
+    del pad
+    d_c64 = d2.ravel()
+    d_e64 = d_e64.ravel()
+    d_x64 = d_x64.ravel()
+    d_c = d_c64.astype(np.float32)
+    d_e = d_e64.astype(np.float32)
+    d_x = d_x64.astype(np.float32)
+    if target_elev == 0.0:
+        d_t64 = d_c64
+        d_t = d_c
+    else:
+        d_t64 = d_c64 + target_elev
+        d_t = d_t64.astype(np.float32)
     a1 = _angle_plane32(h, w, vp_row, vp_col).ravel()
 
     dr = np.arange(h, dtype=np.float32) - np.float32(vp_row)
     dc = np.arange(w, dtype=np.float32) - np.float32(vp_col)
-    rho = np.hypot(np.abs(dr)[:, None], np.abs(dc)[None, :]).ravel()
-    bounds = np.array(_TIER_BOUNDS, dtype=np.float32)
-    tid = np.searchsorted(bounds, rho, side="left")
+    rho2 = (np.abs(dr)[:, None] ** 2 + np.abs(dc)[None, :] ** 2).ravel()
+    tid = np.zeros(rho2.size, dtype=np.int8)
+    for b in _TIER_BOUNDS:
+        tid += rho2 > np.float32(b) ** 2
     order = np.argsort(a1, kind="stable")
     ord2 = order[np.argsort(tid[order], kind="stable")]
-    counts = np.bincount(tid, minlength=bounds.size + 1)
+    counts = np.bincount(tid, minlength=len(_TIER_BOUNDS) + 1)
     two_pi = np.float32(2.0 * np.pi)
+    # the crossing (east-ray) cells are one contiguous flat-index range
+    ray_lo = vp_row * w + vp_col
+    ray_hi = vp_row * w + w
 
     def extend(idx_sorted):
-        cross = (((idx_sorted // w) == vp_row)
-                 & ((idx_sorted % w) > vp_col))
+        cross = (idx_sorted > ray_lo) & (idx_sorted < ray_hi)
         cidx = idx_sorted[cross]
         ext = np.concatenate([idx_sorted, cidx])
         keys = np.concatenate([a1[idx_sorted],
@@ -531,34 +574,40 @@ def _screen_cache(data_np, vp_row, vp_col, observer_elev, target_elev,
             continue
         tidx = ord2[off:off + cnt]
         off += cnt
-        W = asin(min(1.0, 0.7071067811865476 / float(bounds[t - 1]))) \
+        W = asin(min(1.0, 0.7071067811865476 / _TIER_BOUNDS[t - 1])) \
             + _W_EPS
         tiers.append(extend(tidx) + (W,))
     return dict(a1=a1, d_c=d_c, d_e=d_e, d_x=d_x, d_t=d_t,
+                d_c64=d_c64, d_e64=d_e64, d_x64=d_x64, d_t64=d_t64,
                 glob=(glob_idx, glob_shift), tiers=tiers, order=order,
                 vp_elev=vp_elev, shape=(h, w))
 
 
-def _screen_build_tables(sc, glob_idx, glob_shift, tiers, tier_shifts):
+def _screen_build_tables(sc, glob_idx, glob_shift, tiers, tier_shifts,
+                         f64=False):
     """[glob, tier...] screen-input tables: per candidate only int32
-    idx, the 3 f32 elevation diffs, and the crossing-copy flag — the
+    idx, the 3 elevation diffs, and the crossing-copy flag — the
     13 derived predicate fields are expanded on device
     (_expand_table), so host gather+upload volume is ~16 B/candidate
-    instead of ~52."""
+    instead of ~52.  ``f64`` selects the exact f64 diff planes for the
+    level-2 re-screen."""
+    ft = np.float64 if f64 else np.float32
+    s = "64" if f64 else ""
+
     def tab(idx, shifted, L):
         m = idx.size
         out = {
             "idx": np.full(L, -1, np.int32),
             "sh": np.zeros(L, dtype=bool),
-            "dc": np.zeros(L, np.float32),
-            "de": np.zeros(L, np.float32),
-            "dx": np.zeros(L, np.float32),
+            "dc": np.zeros(L, ft),
+            "de": np.zeros(L, ft),
+            "dx": np.zeros(L, ft),
         }
         out["idx"][:m] = idx
         out["sh"][:m] = shifted
-        out["dc"][:m] = sc["d_c"][idx]
-        out["de"][:m] = sc["d_e"][idx]
-        out["dx"][:m] = sc["d_x"][idx]
+        out["dc"][:m] = sc["d_c" + s][idx]
+        out["de"][:m] = sc["d_e" + s][idx]
+        out["dx"][:m] = sc["d_x" + s][idx]
         return out
 
     host = [tab(glob_idx, glob_shift, _round_up(glob_idx.size, 1024))]
@@ -575,19 +624,26 @@ def _screen_build_tables(sc, glob_idx, glob_shift, tiers, tier_shifts):
     return packed, offs, metas
 
 
-def _expand_table(tab, w, vp_row, vp_col, ew, ns):
-    """Per-candidate derived fields, f32, computed on device from
+def _expand_table(tab, w, vp_row, vp_col, ew, ns, taus=_TAUS_F32):
+    """Per-candidate derived fields computed on device from
     (idx, diffs, shift): corner angles via the shared quadrant table,
     gradients, unwrapped span/node, interpolation slopes, [min3, max3]
     clip range, and the sure/maybe tolerance fields.  Validity (pad
     entries, NaN elevation, the viewpoint itself) is folded into the
-    cover bounds (a0w/a0n = +inf kills both tests)."""
+    cover bounds (a0w/a0n = +inf kills both tests).
+
+    The working dtype follows the diff fields: f32 for screen level 1,
+    f64 (exact diffs) for the level-2 re-screen; ``taus`` supplies the
+    matching tolerance set."""
+    dt = tab["dc"].dtype
+    tau_c, ka_s, ka_w, tau_gr, tg_abs, _ = (jnp.asarray(t, dt)
+                                            for t in taus)
     idx = tab["idx"]
     safe = jnp.maximum(idx, 0)
     row = safe // w
     col = safe - row * w
-    dy = (row - vp_row).astype(jnp.float32)
-    dx = (col - vp_col).astype(jnp.float32)
+    dy = (row - vp_row).astype(dt)
+    dx = (col - vp_col).astype(dt)
     e_dy, e_dx, x_dy, x_dx = _corner_offsets(row, col, vp_row, vp_col,
                                              xp=jnp)
     ey0 = dy + e_dy
@@ -607,8 +663,8 @@ def _expand_table(tab, w, vp_row, vp_col, ew, ns):
     g2 = grad(tab["dx"], ey2, ex2)
     key = (dx * ew) ** 2 + (dy * ns) ** 2
 
-    two_pi = jnp.float32(2.0 * PI)
-    zero = jnp.float32(0.0)
+    two_pi = jnp.asarray(2.0 * PI, dt)
+    zero = jnp.asarray(0.0, dt)
     crossing = (dy == 0.0) & (dx > 0.0)
     sh = tab["sh"]
     a0u = a0 - jnp.where(crossing & ~sh, two_pi, zero)
@@ -617,24 +673,24 @@ def _expand_table(tab, w, vp_row, vp_col, ew, ns):
     a1e = a1 + shift2
     d10 = a1e - a0u
     d21 = a2u - a1e
-    tiny = jnp.float32(1e-12)
+    tiny = jnp.asarray(1e-12 if dt == jnp.float32 else 1e-200, dt)
     s01 = (g0 - g1) / jnp.maximum(d10, tiny)
     s21 = (g2 - g1) / jnp.maximum(d21, tiny)
     mx = jnp.maximum(g0, jnp.maximum(g1, g2))
     mn = jnp.minimum(g0, jnp.minimum(g1, g2))
     span = mx - mn
     dmin = jnp.maximum(jnp.minimum(d10, d21), tiny)
-    one = jnp.float32(1.0)
-    gband = _TG_ABS + _TAU_GR * jnp.maximum(jnp.abs(mn), jnp.abs(mx))
-    tol_s = gband + span * jnp.minimum(one, _KA_S / dmin)
-    tol_w = gband + span * jnp.minimum(one, _KA_W / dmin)
+    one = jnp.asarray(1.0, dt)
+    gband = tg_abs + tau_gr * jnp.maximum(jnp.abs(mn), jnp.abs(mx))
+    tol_s = gband + span * jnp.minimum(one, ka_s / dmin)
+    tol_w = gband + span * jnp.minimum(one, ka_w / dmin)
 
     valid = ((idx >= 0) & jnp.isfinite(tab["dc"])
              & ((row != vp_row) | (col != vp_col)))
-    inf = jnp.float32(jnp.inf)
-    a0w = jnp.where(valid, a0u - _TAU_C, inf)
-    a0n = jnp.where(valid, a0u + _TAU_C, inf)
-    return dict(a0w=a0w, a0n=a0n, a2w=a2u + _TAU_C, a2n=a2u - _TAU_C,
+    inf = jnp.asarray(jnp.inf, dt)
+    a0w = jnp.where(valid, a0u - tau_c, inf)
+    a0n = jnp.where(valid, a0u + tau_c, inf)
+    return dict(a0w=a0w, a0n=a0n, a2w=a2u + tau_c, a2n=a2u - tau_c,
                 a1e=a1e, g1=g1, s01=s01, s21=s21, mn=mn, mx=mx,
                 ts=tol_s, tw=tol_w, key=key, idx=idx)
 
@@ -644,7 +700,7 @@ def _screen_pairs(al, kt_lo, kt_hi, it, c):
     the lean pair kernel: 2 interval tests, 2 key tests, one linear
     interpolation (slopes precomputed per candidate, no divides, no
     crossing selects)."""
-    ninf = jnp.float32(-jnp.inf)
+    ninf = jnp.asarray(-jnp.inf, c["g1"].dtype)
     kb = c["key"][None]
     not_self = c["idx"][None] != it
     maybe = ((al > c["a0w"][None]) & (al < c["a2w"][None])
@@ -660,25 +716,36 @@ def _screen_pairs(al, kt_lo, kt_hi, it, c):
     return hi, lo
 
 
-@partial(jax.jit, static_argnames=("offs", "A", "C", "Es", "w"))
+@partial(jax.jit, static_argnames=("offs", "A", "C", "Es", "w", "taus"))
 def _screen_run(packed, tperm, a1_t, d_t, tier_los, offs, A, C, Es, w,
-                vp_row, vp_col, ew, ns, vp_flat):
+                vp_row, vp_col, ew, ns, vp_flat, taus=_TAUS_F32):
     """One dispatch: carve the packed upload, expand every candidate
     table, compute per-target gradients, and scan the A buckets —
     returning per-target (visible, ambiguous) classification bits."""
+    dt = d_t.dtype
+    tau_k = jnp.asarray(taus[5], dt)
+    tau_gr = jnp.asarray(taus[3], dt)
+    tg_abs = jnp.asarray(taus[4], dt)
     tabs = _carve(packed, offs)
-    ex = tuple(_expand_table(t, w, vp_row, vp_col, ew, ns) for t in tabs)
+    ex = tuple(_expand_table(t, w, vp_row, vp_col, ew, ns, taus)
+               for t in tabs)
     glob = ex[0]
     tiers = ex[1:]
 
     row = tperm // w
     col = tperm - row * w
-    dy = (row - vp_row).astype(jnp.float32)
-    dx = (col - vp_col).astype(jnp.float32)
+    dy = (row - vp_row).astype(dt)
+    dx = (col - vp_col).astype(dt)
+    if a1_t is None:
+        # level-2 (f64): target angles computed on device from exact
+        # integer coordinates — the f32 host plane is far outside the
+        # 1e-12 cover band
+        a1_t = _calculate_angle(dx, dy, 0.0, 0.0, xp=jnp)
     key_t = (dx * ew) ** 2 + (dy * ns) ** 2
-    gt = jnp.arctan(d_t / jnp.sqrt(jnp.where(key_t == 0, 1.0, key_t)))
-    kt_hi = key_t * (1.0 + _TAU_K)
-    kt_lo = key_t * (1.0 - _TAU_K)
+    one = jnp.asarray(1.0, dt)
+    gt = jnp.arctan(d_t / jnp.sqrt(jnp.where(key_t == 0, one, key_t)))
+    kt_hi = key_t * (one + tau_k)
+    kt_lo = key_t * (one - tau_k)
 
     def body(_, k):
         def sl(arr):
@@ -696,7 +763,7 @@ def _screen_run(packed, tperm, a1_t, d_t, tier_los, offs, A, C, Es, w,
             hi = jnp.maximum(hi, h2)
             lo = jnp.maximum(lo, l2)
         gts = sl(gt)
-        tcls = _TG_ABS + _TAU_GR * jnp.abs(gts)
+        tcls = tg_abs + tau_gr * jnp.abs(gts)
         vis = hi <= gts - tcls
         blk = lo > gts + tcls
         # NaN targets fail both comparisons -> ambiguous; the viewpoint
@@ -778,29 +845,60 @@ def _screened_visibility(data_np, vp_row, vp_col, observer_elev,
             cache=plan_cache)
         mark(f"reeval/plan amb={amb_idx.size} A={A_a} "
              f"sumE={sum(E for _, _, E in tiers_a)}")
-        # route by data volume: the gathered path moves A*sum(E)
-        # elements (subset-attrs gather + upload), the table path the
-        # full padded tiers (~n) and needs the full f64 planes.  Both
-        # evaluate identical candidate supersets with the identical
-        # f64 predicate => bit-identical either way.
-        gath_elems = sum(A_a * E for _, _, E in tiers_a)
-        tab_elems = sum(max(E, _round_up(tidx.size, 16384))
-                        for tidx, _, E in tiers_a)
+        # level 2: re-screen the ambiguous subset in DEVICE float64
+        # (exact f64 diffs, 1e-12-scale bands) — classifies everything
+        # except true f64-epsilon ties, so the expensive host-f64
+        # oracle only ever sees a handful of targets
         with x64():
-            if gath_elems < tab_elems:
-                attrs_of = cell_attrs_subset_fn(
-                    data_np, vp_row, vp_col, observer_elev, target_elev,
-                    ew_res, ns_res)
-                vis_a = _run_buckets_f64_gathered(attrs_of, tperm_a,
-                                                  glob_i, tiers_a,
-                                                  A_a, C_a, mark=mark)
-            else:
-                at = cell_attrs_host(data_np, vp_row, vp_col,
-                                     observer_elev, target_elev,
-                                     ew_res, ns_res)
-                vis_a = _run_buckets_f64(at, tperm_a, glob_i, tiers_a,
-                                         A_a, C_a)
-        visible[tperm_a] = vis_a
+            packed2, offs2, metas2 = _screen_build_tables(
+                sc, glob_i, sc["glob"][1], tiers_a, tier_shifts,
+                f64=True)
+            vis2_d, amb2_d = _screen_run(
+                packed2, jnp.asarray(tperm_a.astype(np.int32)), None,
+                jnp.asarray(sc["d_t64"][tperm_a]),
+                tuple(jnp.asarray(l) for l, _ in metas2), offs2,
+                A_a, C_a, tuple(E for _, E in metas2), w,
+                jnp.int32(vp_row), jnp.int32(vp_col),
+                jnp.float64(ew_res), jnp.float64(ns_res),
+                jnp.int32(vp_row * w + vp_col), taus=_TAUS_F64)
+            vis2 = np.asarray(vis2_d).ravel()
+            amb2 = np.asarray(amb2_d).ravel()
+        visible[tperm_a] = vis2
+        mark("reeval/screen2")
+
+        amb2_idx = np.unique(tperm_a[amb2])
+        if amb2_idx.size:
+            L2 = 1 << (max(int(amb2_idx.size), 128) - 1).bit_length()
+            sub2 = np.pad(amb2_idx, (0, L2 - amb2_idx.size),
+                          mode="edge")
+            tperm_b, glob_b, tiers_b, A_b, C_b = _bucket_plan(
+                at32, vp_row, vp_col, min(chunk, 128), targets=sub2,
+                cache=plan_cache)
+            mark(f"reeval/plan2 amb2={amb2_idx.size} A={A_b} "
+                 f"sumE={sum(E for _, _, E in tiers_b)}")
+            # route by data volume: the gathered path moves A*sum(E)
+            # elements (subset-attrs gather + upload), the table path
+            # the full padded tiers (~n) and needs the full f64
+            # planes.  Both evaluate identical candidate supersets
+            # with the identical f64 predicate => bit-identical.
+            gath_elems = sum(A_b * E for _, _, E in tiers_b)
+            tab_elems = sum(max(E, _round_up(tidx.size, 16384))
+                            for tidx, _, E in tiers_b)
+            with x64():
+                if gath_elems < tab_elems:
+                    attrs_of = cell_attrs_subset_fn(
+                        data_np, vp_row, vp_col, observer_elev,
+                        target_elev, ew_res, ns_res)
+                    vis_b = _run_buckets_f64_gathered(
+                        attrs_of, tperm_b, glob_b, tiers_b, A_b, C_b,
+                        mark=mark)
+                else:
+                    at = cell_attrs_host(data_np, vp_row, vp_col,
+                                         observer_elev, target_elev,
+                                         ew_res, ns_res)
+                    vis_b = _run_buckets_f64(at, tperm_b, glob_b,
+                                             tiers_b, A_b, C_b)
+            visible[tperm_b] = vis_b
     mark("reeval")
     return visible
 
