@@ -251,3 +251,66 @@ def test_radix_percentile_bitwise():
     a = np.asarray(nanpercentile_select(jnp.asarray(allnan),
                                         jnp.asarray(np.float32([50.0])), 1))
     assert np.isnan(a).all()
+
+
+def test_radix_percentile_sharded_bitwise():
+    """The mesh-sharded radix select (per-shard digit histograms +
+    psum) must be bit-identical to jnp.nanpercentile AND to the
+    single-device radix path — no shard is ever gathered, yet every
+    device walks the same global prefix/remainder state."""
+    import jax
+    import jax.numpy as jnp
+
+    from xrspatial_tpu.kernels.selection import (
+        nanpercentile_select, nanpercentile_select_sharded)
+    from xrspatial_tpu.parallel.halo import distribute, make_raster_mesh
+
+    if len(jax.devices()) < 4:
+        pytest.skip("needs a multi-device mesh")
+    mesh = make_raster_mesh()
+    rng = np.random.default_rng(11)
+    data = (rng.random((512, 512)).astype(np.float32) * 100.0 - 30.0)
+    data[::13, ::7] = np.nan
+    data[0, 1] = -0.0
+    p = np.float32([10.0, 25.0, 50.0, 75.0, 99.0])
+    sharded = distribute(data, mesh)
+    a = np.asarray(nanpercentile_select_sharded(
+        sharded, jnp.asarray(p), len(p), mesh))
+    b = np.asarray(jnp.nanpercentile(jnp.asarray(data), jnp.asarray(p)))
+    c = np.asarray(nanpercentile_select(
+        jnp.asarray(data).ravel(), jnp.asarray(p), len(p)))
+    np.testing.assert_array_equal(a, b)
+    np.testing.assert_array_equal(a, c)
+
+
+def test_quantile_sharded_dispatch(monkeypatch):
+    """classify.quantile on a mesh-sharded raster routes through the
+    sharded radix kernel (not a gather + device sort) and matches the
+    unsharded result exactly."""
+    import jax
+
+    import xrspatial_tpu.classify as cls
+    from xrspatial_tpu.kernels import selection
+    from xrspatial_tpu.parallel.halo import distribute, make_raster_mesh
+
+    if len(jax.devices()) < 4:
+        pytest.skip("needs a multi-device mesh")
+    monkeypatch.setenv("XRSPATIAL_FORCE_RADIX_PERCENTILE", "1")
+    calls = []
+    orig = selection.nanpercentile_select_sharded
+
+    def spy(v, q100, P, mesh):
+        calls.append(P)
+        return orig(v, q100, P, mesh)
+
+    monkeypatch.setattr(selection, "nanpercentile_select_sharded", spy)
+    mesh = make_raster_mesh()
+    rng = np.random.default_rng(3)
+    data = rng.random((256, 256)).astype(np.float32) * 10.0
+    agg_plain = create_test_raster(data)
+    agg_shard = create_test_raster(data)
+    agg_shard.data = distribute(data, mesh)
+    out_plain = np.asarray(cls.quantile(agg_plain, k=5).data)
+    out_shard = np.asarray(cls.quantile(agg_shard, k=5).data)
+    assert calls, "sharded quantile did not take the radix kernel"
+    np.testing.assert_array_equal(out_plain, out_shard)

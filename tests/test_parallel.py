@@ -388,3 +388,67 @@ def test_run_stencil_3d_leading_dim():
     sharded = distribute(jnp.asarray(data), mesh)
     out = np.asarray(run_stencil(mean3x3, 1, sharded))
     np.testing.assert_allclose(out, ref, equal_nan=True, rtol=1e-6)
+
+
+@pytest.mark.parametrize("shape,meshshape,metric_name", [
+    ((64, 64), (2, 4), "EUCLIDEAN"),
+    ((768, 512), (2, 4), "EUCLIDEAN"),   # 512-stride global GSPMD round
+    ((96, 64), (4, 2), "MANHATTAN"),
+])
+def test_sharded_jfa_bit_parity(shape, meshshape, metric_name):
+    """The distributed packed JFA (per-shard rounds behind per-round
+    halo exchanges, parallel/jfa_sharded.py) must be BIT-identical to
+    the unsharded jump flood — same selections, same keys, same
+    reconstructed coordinates (VERDICT r3 task 3)."""
+    import jax.numpy as jnp
+
+    from xrspatial_tpu.kernels.jfa import (EUCLIDEAN, MANHATTAN,
+                                           jump_flood, packed_state_plan)
+
+    h, w = shape
+    metric = {"EUCLIDEAN": EUCLIDEAN, "MANHATTAN": MANHATTAN}[metric_name]
+    rng = np.random.default_rng(42)
+    mask = rng.random((h, w)) < 0.002
+    mask[h // 3, w // 2] = True
+    vals = (rng.random((h, w)) * 9).astype(np.float32)
+    xs = np.arange(w, dtype=np.float32) * 2.0 + 5.0
+    ys = np.arange(h, dtype=np.float32) * 3.0 - 7.0
+    assert packed_state_plan(xs, ys, metric) is not None
+    mesh = make_raster_mesh(*meshshape)
+    d0, tx0, ty0, tv0 = jump_flood(jnp.asarray(mask), jnp.asarray(xs),
+                                   jnp.asarray(ys), metric,
+                                   values=jnp.asarray(vals))
+    d1, tx1, ty1, tv1 = jump_flood(distribute(mask, mesh),
+                                   jnp.asarray(xs), jnp.asarray(ys),
+                                   metric, values=distribute(vals, mesh),
+                                   mesh=mesh)
+    for a, b in [(d0, d1), (tx0, tx1), (ty0, ty1), (tv0, tv1)]:
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_sharded_proximity_takes_jfa_sharded(monkeypatch):
+    """proximity() on a mesh-sharded raster routes through the
+    distributed packed JFA, not the XLA-scan fallback."""
+    from xrspatial_tpu import parallel
+    from xrspatial_tpu.parallel import jfa_sharded
+    from xrspatial_tpu.proximity import proximity
+
+    calls = []
+    orig = jfa_sharded.jump_flood_packed_sharded
+
+    def spy(*a, **k):
+        calls.append(1)
+        return orig(*a, **k)
+
+    monkeypatch.setattr(jfa_sharded, "jump_flood_packed_sharded", spy)
+    mesh = make_raster_mesh(2, 2)
+    data = np.zeros((32, 32), dtype=np.float32)
+    data[3, 4] = 1.0
+    data[20, 28] = 1.0
+    agg = create_test_raster(data, attrs={"res": (1, 1)})
+    agg.data = distribute(agg.data, mesh)
+    base = create_test_raster(data, attrs={"res": (1, 1)})
+    out_sh = np.asarray(proximity(agg).data)
+    out_1 = np.asarray(proximity(base).data)
+    assert calls, "sharded proximity did not take the distributed JFA"
+    np.testing.assert_array_equal(out_sh, out_1)

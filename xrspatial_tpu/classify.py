@@ -109,14 +109,25 @@ def _nanpercentile_jit(data, p):
 def _nanpercentile(data, p_np):
     """nanpercentile dispatch: the sort-free radix select on TPU at
     scale (bit-identical; kernels/selection.py — jnp.nanpercentile's
-    full lax.sort costs ~70 ms at 16.7M elements), else the jnp path."""
+    full lax.sort costs ~70 ms at 16.7M elements), else the jnp path.
+    Mesh-sharded rasters take the SAME radix kernel class with the
+    per-pass histograms psum-combined across the mesh (per-shard data
+    never gathers; kernels/selection.py::nanpercentile_select_sharded),
+    mirroring the reference's uniform dask distribution of quantile
+    (/root/reference/xrspatial/classify.py:202)."""
     from .kernels.selection import (nanpercentile_select,
+                                    nanpercentile_select_sharded,
                                     use_radix_percentile)
     from .parallel.halo import get_raster_mesh
     p_np = np.asarray(p_np, dtype=np.float32)
-    if use_radix_percentile(data.size) and get_raster_mesh(data) is None:
-        return nanpercentile_select(_finite_or_nan(data).ravel(),
-                                    jnp.asarray(p_np), int(p_np.size))
+    if use_radix_percentile(data.size):
+        mesh = get_raster_mesh(data)
+        if mesh is None:
+            return nanpercentile_select(_finite_or_nan(data).ravel(),
+                                        jnp.asarray(p_np), int(p_np.size))
+        return nanpercentile_select_sharded(_finite_or_nan(data),
+                                            jnp.asarray(p_np),
+                                            int(p_np.size), mesh)
     return _nanpercentile_jit(data, jnp.asarray(p_np))
 
 

@@ -357,7 +357,7 @@ def manhattan_scan_plan(xs_np, ys_np):
 
 def jump_flood(target_mask, xs, ys, metric: int, values=None,
                need_coords=True, manhattan_plan="auto",
-               packed_plan="auto", allow_pallas=True):
+               packed_plan="auto", allow_pallas=True, mesh=None):
     """(distance, target_x, target_y, target_value) per pixel.
 
     target_x/y are world coordinates of the nearest target (inf where no
@@ -385,6 +385,22 @@ def jump_flood(target_mask, xs, ys, metric: int, values=None,
     from .pallas_jfa import (jfa_rounds_packed, jfa_rounds_pallas,
                              use_packed_jfa, use_pallas_jfa)
     strides = tuple(int(k) for k in _stride_schedule(max(h, w)))
+    if mesh is not None and use_packed_jfa():
+        # distributed packed JFA: per-shard single-round kernels behind
+        # a per-round halo exchange (parallel/jfa_sharded.py); big
+        # strides stay as GSPMD shift rounds.  Falls through to the XLA
+        # scan path (still distributed via GSPMD) when the packed plan
+        # or shard geometry rules it out.
+        pplan = packed_plan
+        if pplan == "auto":
+            pplan = (packed_state_plan(xs, ys, metric)
+                     if not isinstance(xs, jax.core.Tracer) else None)
+        from ..parallel.jfa_sharded import (jump_flood_packed_sharded,
+                                            use_sharded_jfa)
+        if use_sharded_jfa(mesh, h, w, pplan):
+            return jump_flood_packed_sharded(
+                target_mask, values, strides, metric, values is not None,
+                pplan, mesh, use_pallas=use_pallas_jfa(h, w, metric))
     use_pallas = allow_pallas and use_pallas_jfa(h, w, metric)
     if use_pallas:
         pplan = packed_plan

@@ -32,7 +32,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ["nanpercentile_select", "use_radix_percentile"]
+__all__ = ["nanpercentile_select", "nanpercentile_select_sharded",
+           "use_radix_percentile"]
 
 
 def use_radix_percentile(n: int) -> bool:
@@ -43,16 +44,27 @@ def use_radix_percentile(n: int) -> bool:
     import os
     if os.environ.get("XRSPATIAL_NO_RADIX_PERCENTILE") == "1":
         return False
+    if os.environ.get("XRSPATIAL_FORCE_RADIX_PERCENTILE") == "1":
+        # dryrun/CI hook: exercise the radix kernel class off-TPU
+        # (exactness still needs f32-exact counts, i.e. n <= 2^24)
+        return n <= 2 ** 24
     return (jax.default_backend() == "tpu"
             and 2 ** 21 <= n <= 2 ** 24)
 
 
-@partial(jax.jit, static_argnames=("R", "chunk"))
-def _radix_order_stats(v, ranks, R, chunk=32768):
+def _order_stats_impl(v, ranks, R, chunk=32768, axis_names=()):
     """Values at the given ascending ranks among the FINITE elements of
     flat float32 ``v`` (ranks: traced int32 (R,), each in
     [0, n_finite-1]).  NaN/inf never participate (the caller's rank
-    formula counts only finite values)."""
+    formula counts only finite values).
+
+    With ``axis_names`` non-empty this runs inside ``shard_map``: ``v``
+    is the LOCAL shard and each pass's (R, 16) digit histogram is
+    ``psum``-combined across the mesh before the digit decision, so
+    every device walks the identical global prefix/remainder state.
+    Histogram bins are exact integers in f32 (each local count <=
+    chunk, global count <= 2^24), so the psum is order-independent and
+    the result stays bit-identical to the single-device path."""
     n = v.shape[0]
     u = jax.lax.bitcast_convert_type(v.astype(jnp.float32), jnp.uint32)
     # monotone key: ascending uint32 order == ascending float order
@@ -91,6 +103,8 @@ def _radix_order_stats(v, ranks, R, chunk=32768):
 
         hist, _ = jax.lax.scan(body, jnp.zeros((R, NB), jnp.float32),
                                (ks, ms))
+        if axis_names:
+            hist = jax.lax.psum(hist, axis_names)
         cum = jnp.cumsum(hist, axis=1)
         remf = rem.astype(jnp.float32)[:, None]
         b = jnp.minimum(jnp.sum((cum <= remf).astype(jnp.int32), axis=1),
@@ -108,18 +122,21 @@ def _radix_order_stats(v, ranks, R, chunk=32768):
     return jax.lax.bitcast_convert_type(uu, jnp.float32)
 
 
-@partial(jax.jit, static_argnames=("P",))
-def nanpercentile_select(v, q100, P):
-    """``jnp.nanpercentile(v, q100)`` for flat float32 ``v`` and a
-    static-length (P,) percentile vector — bit-identical to the
-    sort-based implementation, via radix select of the low/high order
-    statistics and the same interpolation arithmetic
-    (jax reductions.py::_quantile, squash_nans branch)."""
+@partial(jax.jit, static_argnames=("R", "chunk"))
+def _radix_order_stats(v, ranks, R, chunk=32768):
+    return _order_stats_impl(v, ranks, R, chunk)
+
+
+def _select_impl(v, q100, P, axis_names=()):
+    """nanpercentile via radix select; ``v`` is the (local) flat f32
+    data, ``axis_names`` the mesh axes to psum over (shard_map only)."""
     v = v.ravel()
     # squash non-NaN semantics: nanpercentile ignores NaN only; +-inf
     # participate in jnp's sort.  The callers (classify._finite_or_nan)
     # pre-map non-finite to NaN, so isfinite == not-NaN here.
     counts = jnp.sum(jnp.isfinite(v), dtype=jnp.float32)
+    if axis_names:
+        counts = jax.lax.psum(counts, axis_names)
     q = q100.astype(jnp.float32) / 100.0
     t = q * (counts - 1.0)
     low = jnp.floor(t)
@@ -129,7 +146,45 @@ def nanpercentile_select(v, q100, P):
     low = jnp.maximum(0.0, jnp.minimum(low, counts - 1.0))
     high = jnp.maximum(0.0, jnp.minimum(high, counts - 1.0))
     ranks = jnp.concatenate([low, high]).astype(jnp.int32)
-    vals = _radix_order_stats(v, ranks, 2 * P)
+    vals = _order_stats_impl(v, ranks, 2 * P, axis_names=axis_names)
     lv, hv = vals[:P], vals[P:]
     res = lv * lw + hv * hw
     return jnp.where(counts > 0, res, jnp.nan)
+
+
+@partial(jax.jit, static_argnames=("P",))
+def nanpercentile_select(v, q100, P):
+    """``jnp.nanpercentile(v, q100)`` for flat float32 ``v`` and a
+    static-length (P,) percentile vector — bit-identical to the
+    sort-based implementation, via radix select of the low/high order
+    statistics and the same interpolation arithmetic
+    (jax reductions.py::_quantile, squash_nans branch)."""
+    return _select_impl(v, q100, P)
+
+
+def nanpercentile_select_sharded(v, q100, P, mesh):
+    """Distributed ``nanpercentile_select`` for a mesh-sharded raster.
+
+    Each device histograms ONLY its local shard; the (R, 16) digit
+    histograms (and the finite count) combine with ``psum`` across the
+    mesh every pass — the radix-select analog of the reference's
+    uniform dask distribution (/root/reference/xrspatial/classify.py
+    :202 quantile over dask arrays).  Data never leaves the devices and
+    no shard is gathered.  Output is replicated (P,) percentiles,
+    bit-identical to the single-device path (histogram bins are exact
+    f32 integers, so psum order cannot change them)."""
+    from jax.experimental.shard_map import shard_map
+
+    spec = v.sharding.spec
+    axes = tuple(a for s in spec if s is not None
+                 for a in ((s,) if isinstance(s, str) else tuple(s)))
+
+    @partial(jax.jit, static_argnames=("P",))
+    def run(v, q100, P):
+        fn = shard_map(
+            lambda blk, q: _select_impl(blk, q, P, axis_names=axes),
+            mesh=mesh, in_specs=(spec, jax.sharding.PartitionSpec()),
+            out_specs=jax.sharding.PartitionSpec(), check_rep=False)
+        return fn(v, q100)
+
+    return run(v, q100, P)

@@ -129,7 +129,8 @@ def _nan_like(x):
     return jnp.full_like(x, jnp.nan)
 
 
-def _halo_from_prev(out, axis: int, r: int, axis_name: str, n: int):
+def _halo_from_prev(out, axis: int, r: int, axis_name: str, n: int,
+                    fill=np.nan):
     """Width-r halo PRECEDING the local block along `axis`.
 
     Gathered from up to k = ceil(r / local_size) predecessor shards: each
@@ -145,15 +146,16 @@ def _halo_from_prev(out, axis: int, r: int, axis_name: str, n: int):
         take = size if j < k else r - (k - 1) * size
         strip = jax.lax.slice_in_dim(out, size - take, size, axis=axis)
         if n - j <= 0:
-            parts.append(_nan_like(strip))
+            parts.append(jnp.full_like(strip, fill))
             continue
         recv = jax.lax.ppermute(strip, axis_name,
                                 [(i, i + j) for i in range(n - j)])
-        parts.append(jnp.where(idx < j, _nan_like(recv), recv))
+        parts.append(jnp.where(idx < j, jnp.full_like(recv, fill), recv))
     return parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=axis)
 
 
-def _halo_from_next(out, axis: int, r: int, axis_name: str, n: int):
+def _halo_from_next(out, axis: int, r: int, axis_name: str, n: int,
+                    fill=np.nan):
     """Width-r halo FOLLOWING the local block along `axis` (mirror)."""
     size = out.shape[axis]
     k = -(-r // size)
@@ -163,19 +165,21 @@ def _halo_from_next(out, axis: int, r: int, axis_name: str, n: int):
         take = size if j < k else r - (k - 1) * size
         strip = jax.lax.slice_in_dim(out, 0, take, axis=axis)
         if n - j <= 0:
-            parts.append(_nan_like(strip))
+            parts.append(jnp.full_like(strip, fill))
             continue
         recv = jax.lax.ppermute(strip, axis_name,
                                 [(i, i - j) for i in range(j, n)])
-        parts.append(jnp.where(idx >= n - j, _nan_like(recv), recv))
+        parts.append(jnp.where(idx >= n - j, jnp.full_like(recv, fill),
+                               recv))
     return parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=axis)
 
 
-def halo_extend(block, halo: HaloSpec, mesh: Mesh):
+def halo_extend(block, halo: HaloSpec, mesh: Mesh, fill=np.nan):
     """Extend a local block with radius-(ry, rx) halos from mesh neighbors.
 
-    Must be called inside shard_map over `mesh`.  Outer boundary is NaN
-    (the reference's ``boundary=np.nan`` contract).  Returns an array of
+    Must be called inside shard_map over `mesh`.  Outer boundary is
+    ``fill`` (default NaN — the reference's ``boundary=np.nan`` contract;
+    the packed-JFA exchange passes its -1 sentinel).  Returns an array of
     shape (h + 2*ry, w + 2*rx); corners included (two-phase exchange).
     Radii wider than the local shard gather from multiple neighbor
     offsets (⌈r/shard⌉ ppermutes per side) — the analog of the
@@ -189,13 +193,13 @@ def halo_extend(block, halo: HaloSpec, mesh: Mesh):
     out = block
     if rx > 0:
         ax = out.ndim - 1
-        left_halo = _halo_from_prev(out, ax, rx, "x", n_x)
-        right_halo = _halo_from_next(out, ax, rx, "x", n_x)
+        left_halo = _halo_from_prev(out, ax, rx, "x", n_x, fill)
+        right_halo = _halo_from_next(out, ax, rx, "x", n_x, fill)
         out = jnp.concatenate([left_halo, out, right_halo], axis=-1)
     if ry > 0:
         ax = out.ndim - 2
-        top_halo = _halo_from_prev(out, ax, ry, "y", n_y)
-        bot_halo = _halo_from_next(out, ax, ry, "y", n_y)
+        top_halo = _halo_from_prev(out, ax, ry, "y", n_y, fill)
+        bot_halo = _halo_from_next(out, ax, ry, "y", n_y, fill)
         out = jnp.concatenate([top_halo, out, bot_halo], axis=-2)
     return out
 

@@ -86,9 +86,9 @@ def _target_mask(img, target_values):
 
 
 @partial(jax.jit, static_argnames=("metric", "mode", "targets", "mplan",
-                                   "pplan", "allow_pallas"))
+                                   "pplan", "allow_pallas", "mesh"))
 def _process_compute(img, xs, ys, max_distance, metric, mode, targets,
-                     mplan, pplan, allow_pallas=True):
+                     mplan, pplan, allow_pallas=True, mesh=None):
     """The whole proximity/allocation compute (and direction's f32
     part) as ONE jitted dispatch: eager op-by-op execution through the
     axon tunnel costs ~1-2 ms PER op in launch latency — at 4096^2 the
@@ -97,7 +97,7 @@ def _process_compute(img, xs, ys, max_distance, metric, mode, targets,
     dist, t_x, t_y, t_val = jump_flood(
         mask, xs, ys, metric, values=img if mode == ALLOCATION else None,
         need_coords=(mode == DIRECTION), manhattan_plan=mplan,
-        packed_plan=pplan, allow_pallas=allow_pallas)
+        packed_plan=pplan, allow_pallas=allow_pallas, mesh=mesh)
     reachable = jnp.isfinite(t_x) & (dist <= max_distance)
     if mode == PROXIMITY:
         return jnp.where(reachable, dist, jnp.nan)
@@ -152,13 +152,17 @@ def _process(raster, x, y, target_values, max_distance, distance_metric,
         else None
     from .kernels.jfa import packed_state_plan
     pplan = packed_state_plan(xs_np, ys_np, metric)
-    # mesh-sharded rasters run the XLA scan rounds under GSPMD (static
-    # shifts lower to collective-permutes across shard edges); a
-    # pallas_call would not partition over the mesh
+    # mesh-sharded rasters take the distributed packed JFA: the SAME
+    # single-round kernels per shard behind a per-round halo exchange
+    # (parallel/jfa_sharded.py); shapes/coords it cannot prove exact
+    # fall back to the XLA scan rounds under GSPMD (static shifts lower
+    # to collective permutes across shard edges)
     from .parallel.halo import get_raster_mesh
-    allow_pallas = get_raster_mesh(img) is None
+    mesh = get_raster_mesh(img)
+    allow_pallas = mesh is None
     res = _process_compute(img, xs, ys, jnp.float32(max_distance), metric,
-                           mode, targets, mplan, pplan, allow_pallas)
+                           mode, targets, mplan, pplan, allow_pallas,
+                           mesh)
     if mode != DIRECTION:
         return res
 
