@@ -314,3 +314,70 @@ def test_quantile_sharded_dispatch(monkeypatch):
     out_shard = np.asarray(cls.quantile(agg_shard, k=5).data)
     assert calls, "sharded quantile did not take the radix kernel"
     np.testing.assert_array_equal(out_plain, out_shard)
+
+
+@pytest.mark.parametrize("classifier", [
+    "binary", "reclassify", "quantile", "natural_breaks",
+    "equal_interval", "percentiles", "std_mean", "head_tail_breaks",
+    "maximum_breaks", "box_plot"])
+@pytest.mark.parametrize("case", ["constant", "all_nan", "few_unique"])
+def test_classify_degenerate_inputs(classifier, case):
+    """Every classifier must handle constant rasters, all-NaN rasters,
+    and k > distinct-values gracefully (the reference's paranoid edge
+    matrix, test_classify.py; where the reference raises we degrade to
+    one class / all-NaN — documented deviations)."""
+    import warnings as _w
+
+    data = {
+        "constant": np.full((4, 5), 7.0, np.float32),
+        "all_nan": np.full((4, 5), np.nan, np.float32),
+        "few_unique": np.array([[1., 1., 2.], [2., 1., 2.]], np.float32),
+    }[case]
+    agg = create_test_raster(data)
+    call = {
+        "binary": lambda a: binary(a, [7]),
+        "reclassify": lambda a: reclassify(a, bins=[7], new_values=[1]),
+        "quantile": lambda a: quantile(a, k=4),
+        "natural_breaks": lambda a: natural_breaks(a, k=4),
+        "equal_interval": lambda a: equal_interval(a, k=4),
+        "percentiles": lambda a: percentiles(a),
+        "std_mean": std_mean,
+        "head_tail_breaks": head_tail_breaks,
+        "maximum_breaks": lambda a: maximum_breaks(a, k=4),
+        "box_plot": box_plot,
+    }[classifier]
+    with _w.catch_warnings():
+        _w.simplefilter("ignore")
+        out = np.asarray(call(agg).data)
+    assert out.shape == data.shape
+    assert out.dtype == np.float32
+    if case == "all_nan":
+        assert np.isnan(out).all()
+    else:
+        # NaN only where input is NaN; classes are small non-negative ids
+        finite = out[np.isfinite(out)]
+        assert finite.size == data[np.isfinite(data)].size
+        assert (finite >= 0).all() and (finite < 10).all()
+        if case == "constant" and classifier not in ("binary",
+                                                     "reclassify"):
+            assert np.unique(finite).size == 1
+
+
+def test_classify_does_not_modify_input():
+    """binary/reclassify must not mutate the input raster in place
+    (reference test_classify.py::test_*_does_not_modify_input)."""
+    data = np.arange(12, dtype=np.float32).reshape(3, 4)
+    agg = create_test_raster(data.copy())
+    binary(agg, [1, 2])
+    reclassify(agg, bins=[5, 11], new_values=[0, 1])
+    quantile(agg, k=3)
+    np.testing.assert_array_equal(np.asarray(agg.data), data)
+
+
+def test_quantile_k_larger_than_size():
+    """k greater than the element count collapses to the available
+    unique quantile edges, mirroring the reference's warning path."""
+    agg = create_test_raster(np.array([[3.0, 1.0]], np.float32))
+    out = np.asarray(quantile(agg, k=17).data)
+    assert np.isfinite(out).all()
+    assert set(np.unique(out)) <= set(np.arange(17.0))

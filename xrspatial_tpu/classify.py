@@ -220,6 +220,10 @@ def box_plot(agg, hinge: float = 1.5,
     data = to_jax(agg)
     q = np.asarray(_nanpercentile(data, [25.0, 50.0, 75.0]))
     q1, q2, q3 = (float(v) for v in q)
+    if not np.isfinite([q1, q2, q3]).all():
+        # all-NaN input: the fences are undefined; all-NaN output
+        return wrap_like(agg, jnp.full(data.shape, jnp.nan, jnp.float32),
+                         name)
     max_v = float(_min_max_jit(data)[1])
     iqr = q3 - q1
     raw = [q1 - hinge * iqr, q1, q2, q3, q3 + hinge * iqr, max_v]
@@ -280,6 +284,11 @@ def maximum_breaks(agg, k: int = 5,
     values = np.asarray(to_jax(agg)).ravel()
     values = values[np.isfinite(values)]
     uv = np.unique(values)
+    if uv.size == 0:
+        # all-NaN input: all-NaN output (graceful; the reference indexes
+        # the empty unique array and raises)
+        return wrap_like(agg, jnp.full(to_jax(agg).shape, jnp.nan,
+                                       jnp.float32), name)
     if len(uv) < k:
         bins = uv
     else:
@@ -417,8 +426,13 @@ def natural_breaks(agg, num_sample: Optional[int] = 20000,
     the DP itself runs on device via lax.scan.
     """
     data = to_jax(agg)
-    max_data = float(_min_max_jit(data)[1])
     values = np.asarray(data).ravel()
+    if not np.isfinite(values).any():
+        # no finite values to fit on: every cell is NaN out (graceful;
+        # the reference's jenks sampler would raise on an empty sample)
+        return wrap_like(agg, jnp.full(data.shape, jnp.nan, jnp.float32),
+                         name)
+    max_data = float(_min_max_jit(data)[1])
     bins, uvk = _natural_break_bins(values, num_sample, k, max_data)
     out = _bin(data, bins, np.arange(uvk))
     return wrap_like(agg, out, name)
