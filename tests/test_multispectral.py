@@ -8,6 +8,7 @@ from general_checks import create_test_raster, general_output_checks
 from xrspatial_tpu import Dataset
 from xrspatial_tpu.multispectral import (arvi, ebbi, evi, gci, nbr, nbr2,
                                          ndmi, ndvi, savi, sipi, true_color)
+from xrspatial_tpu.xrlib import DataArray
 
 
 @pytest.fixture
@@ -145,3 +146,52 @@ def test_true_color_nodata_alpha(bands):
     assert out[0, 0, 3] == 0
     assert out[1, 1, 3] == 0
     assert out[2, 2, 3] == 255
+
+
+def test_uint_dtype_bands():
+    """Integer (uint16 sentinel-style) bands must compute in float and
+    return float32 (reference test_multispectral.py uint-dtype cases)."""
+    rng = np.random.default_rng(0)
+    nir_u = (rng.random((4, 5)) * 10000).astype(np.uint16)
+    red_u = (rng.random((4, 5)) * 10000).astype(np.uint16)
+    nir = DataArray(nir_u, dims=("y", "x"))
+    red = DataArray(red_u, dims=("y", "x"))
+    out = np.asarray(ndvi(nir, red).data)
+    assert out.dtype == np.float32
+    expected = ((nir_u.astype(np.float64) - red_u)
+                / (nir_u.astype(np.float64) + red_u))
+    np.testing.assert_allclose(out, expected, atol=1e-6)
+    sv = np.asarray(savi(nir, red).data)
+    assert sv.dtype == np.float32 and np.isfinite(sv).all()
+
+
+def test_savi_soil_factor_domain():
+    """soil_factor outside [-1, 1] raises (reference contract)."""
+    rng = np.random.default_rng(1)
+    nir = DataArray(rng.random((3, 3)).astype(np.float32), dims=("y", "x"))
+    red = DataArray(rng.random((3, 3)).astype(np.float32), dims=("y", "x"))
+    with pytest.raises(ValueError):
+        savi(nir, red, soil_factor=2.0)
+    with pytest.raises(ValueError):
+        savi(nir, red, soil_factor=-1.5)
+
+
+def test_zero_bands_yield_nan_not_inf():
+    """0/0 denominators produce NaN (never +-inf) across the
+    normalized-ratio family."""
+    z = DataArray(np.zeros((3, 3), np.float32), dims=("y", "x"))
+    for fn in (ndvi, nbr, ndmi):
+        out = np.asarray(fn(z, z).data)
+        assert np.isnan(out).all() or not np.isinf(out).any()
+
+
+def test_ndvi_range_contract():
+    """NDVI of positive bands lies in [-1, 1] (reference
+    test_ndvi_data_contains_valid_values)."""
+    rng = np.random.default_rng(7)
+    nir = DataArray((rng.random((16, 16)) * 9 + 0.5).astype(np.float32),
+                    dims=("y", "x"))
+    red = DataArray((rng.random((16, 16)) * 9 + 0.5).astype(np.float32),
+                    dims=("y", "x"))
+    out = np.asarray(ndvi(nir, red).data)
+    assert (out >= -1.0).all() and (out <= 1.0).all()
