@@ -87,8 +87,11 @@ def main(n):
     for label, fn, traffic in [
         ("pallas copy 128x8192", lambda: pallas_copy(x, 128, 8192), 2),
         ("pallas copy 256x4096", lambda: pallas_copy(x, 256, 4096), 2),
-        ("pallas add  128x8192", lambda: pallas_add(x, y, 128, 8192), 3),
-        ("pallas add  256x4096", lambda: pallas_add(x, y, 256, 4096), 3),
+        # 3 buffers x full-size tiles x double-buffering busts the 16 MB
+        # scoped-VMEM limit (measured: 24 MB demanded at 128x8192);
+        # half-size tiles keep the add within budget
+        ("pallas add  128x4096", lambda: pallas_add(x, y, 128, 4096), 3),
+        ("pallas add  256x2048", lambda: pallas_add(x, y, 256, 2048), 3),
         ("xla copy (x+0)      ", lambda: xla_copy(x), 2),
     ]:
         t = timed(fn, reps=18, burst=6)
