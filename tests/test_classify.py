@@ -253,6 +253,49 @@ def test_radix_percentile_bitwise():
     assert np.isnan(a).all()
 
 
+@pytest.mark.slow
+def test_radix_percentile_beyond_2pow24():
+    """Above 2^24 elements the radix select must stay EXACT (int32
+    digit histograms, round 5): jnp.nanpercentile's own f32 count sum
+    and rank clamp degrade there, so the oracle is the true order
+    statistics (np.partition of the finite values) pushed through the
+    identical f32 interpolation formula.  Also pins the q=100 NaN-tail
+    fix: the integer rank clamp selects the true max."""
+    import jax.numpy as jnp
+
+    from xrspatial_tpu.kernels.selection import nanpercentile_select
+
+    rng = np.random.default_rng(7)
+    # every-19th NaN keeps a NaN tail after the sort; size n so the
+    # FINITE count (18/19 of n) still exceeds 2^24
+    n = 2 ** 24 + 2 ** 20
+    data = (rng.random(n, dtype=np.float32) * 2000.0 - 500.0)
+    data[::19] = np.nan
+    p = np.float32([0.0, 37.5, 99.9, 100.0])
+
+    finite = np.sort(data[np.isfinite(data)])
+    counts_i = finite.size
+    assert counts_i > 2 ** 24  # the regime this test exists for
+    counts = np.float32(counts_i)
+    q = p / np.float32(100.0)
+    t = q * (counts - np.float32(1.0))
+    low = np.floor(t)
+    high = np.ceil(t)
+    hw = t - low
+    lw = np.float32(1.0) - hw
+    low = np.maximum(np.float32(0.0), np.minimum(low, counts - 1))
+    high = np.maximum(np.float32(0.0), np.minimum(high, counts - 1))
+    lo_r = np.minimum(low.astype(np.int64), counts_i - 1)
+    hi_r = np.minimum(high.astype(np.int64), counts_i - 1)
+    expected = (finite[lo_r] * lw + finite[hi_r] * hw).astype(np.float32)
+
+    got = np.asarray(nanpercentile_select(
+        jnp.asarray(data), jnp.asarray(p), len(p)))
+    np.testing.assert_array_equal(got, expected)
+    assert got[-1] == finite[-1]          # q=100 == true max, not NaN
+    assert np.isfinite(got).all()
+
+
 def test_radix_percentile_sharded_bitwise():
     """The mesh-sharded radix select (per-shard digit histograms +
     psum) must be bit-identical to jnp.nanpercentile AND to the

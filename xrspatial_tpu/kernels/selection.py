@@ -10,13 +10,20 @@ every wanted rank simultaneously (a (chunk, 16) one-hot against a
 rank to one digit per pass.  16 bins over 8 passes beats 256 bins over
 4: the one-hot construction is the dominant elementwise cost and scales
 with bins-per-pass x passes (measured 64 ms with bytes vs the sort's
-44 ms; digits cut the one-hot work 8x).  Order statistics are EXACT (they are the sorted values
-themselves), and the percentile interpolation replicates
+44 ms; digits cut the one-hot work 8x).  Order statistics are EXACT (they are
+the sorted values themselves): per-chunk MXU counts are exact integers
+<= chunk in f32 and accumulate/psum in int32, so digit decisions are
+exact through 2^31 elements.  The percentile interpolation replicates
 ``jnp.nanpercentile``'s formula operation-for-operation (floor/ceil
-ranks in f32, ``low*low_weight + high*high_weight``), so results are
-bit-identical to the sort-based path for any input with fewer than 2^24
-elements (above that an f32 ``counts`` could round differently between
-reduction orders; callers gate).
+ranks in f32, ``low*low_weight + high*high_weight``) with the exact
+integer count converted once to f32, so results are bit-identical to
+the sort-based path through 2^24 elements (f32 represents every count
+exactly there).  Above 2^24 the radix path stays exact while
+``jnp.nanpercentile`` itself degrades: its f32 count summation can
+round, and its f32 ``counts - 1`` clamp can round UP past the last
+finite element, gathering from the NaN tail at q=100.  We clamp ranks
+to ``n_finite - 1`` in integers instead (identical below 2^24,
+strictly more correct above; disclosed in PARITY.md).
 
 Reference semantics: the reference classifies with
 ``np.nanpercentile`` / Numba quantile helpers (classify.py); our parity
@@ -37,19 +44,21 @@ __all__ = ["nanpercentile_select", "nanpercentile_select_sharded",
 
 
 def use_radix_percentile(n: int) -> bool:
-    """Radix select wins over the device sort for large arrays on TPU;
-    the f32 `counts` bitwise-parity argument needs n <= 2^24 (integers
-    are exactly representable in f32 through 2^24 inclusive, so any
-    summation order yields the same count)."""
+    """Radix select wins over the device sort for large arrays on TPU.
+    int32 digit histograms keep the select exact through 2^31 elements
+    (round 5; the old f32 carry capped it at 2^24 — an 8192^2 raster
+    silently fell back to the 44-70 ms device sort, VERDICT r4 task 5).
+    Bit-parity with ``jnp.nanpercentile`` holds through 2^24; above
+    that the radix path is the MORE exact of the two (module
+    docstring)."""
     import os
     if os.environ.get("XRSPATIAL_NO_RADIX_PERCENTILE") == "1":
         return False
     if os.environ.get("XRSPATIAL_FORCE_RADIX_PERCENTILE") == "1":
         # dryrun/CI hook: exercise the radix kernel class off-TPU
-        # (exactness still needs f32-exact counts, i.e. n <= 2^24)
-        return n <= 2 ** 24
+        return n <= 2 ** 31
     return (jax.default_backend() == "tpu"
-            and 2 ** 21 <= n <= 2 ** 24)
+            and 2 ** 21 <= n <= 2 ** 31)
 
 
 def _order_stats_impl(v, ranks, R, chunk=32768, axis_names=()):
@@ -62,9 +71,10 @@ def _order_stats_impl(v, ranks, R, chunk=32768, axis_names=()):
     is the LOCAL shard and each pass's (R, 16) digit histogram is
     ``psum``-combined across the mesh before the digit decision, so
     every device walks the identical global prefix/remainder state.
-    Histogram bins are exact integers in f32 (each local count <=
-    chunk, global count <= 2^24), so the psum is order-independent and
-    the result stays bit-identical to the single-device path."""
+    Histograms are int32 (each per-chunk MXU count <= chunk is exact in
+    f32, cast losslessly), so the psum is an exact integer sum —
+    order-independent through 2^31 total elements and bit-identical to
+    the single-device path."""
     n = v.shape[0]
     u = jax.lax.bitcast_convert_type(v.astype(jnp.float32), jnp.uint32)
     # monotone key: ascending uint32 order == ascending float order
@@ -96,25 +106,28 @@ def _order_stats_impl(v, ranks, R, chunk=32768, axis_names=()):
                      & ((kc & mask_hi)[:, None] == prefix[None, :])
                      ).astype(jnp.bfloat16)
             # (R, chunk) @ (chunk, NB) on the MXU; 0/1 bf16 operands,
-            # f32 accumulation: counts <= chunk are exact
+            # f32 accumulation: per-chunk counts <= chunk are exact
+            # integers, cast losslessly to int32 and accumulated there
+            # (an f32 carry capped exactness at 2^24 total elements)
             hist = hist + jnp.dot(match.T, oh,
-                                  preferred_element_type=jnp.float32)
+                                  preferred_element_type=jnp.float32
+                                  ).astype(jnp.int32)
             return hist, None
 
-        hist, _ = jax.lax.scan(body, jnp.zeros((R, NB), jnp.float32),
+        hist, _ = jax.lax.scan(body, jnp.zeros((R, NB), jnp.int32),
                                (ks, ms))
         if axis_names:
             hist = jax.lax.psum(hist, axis_names)
         cum = jnp.cumsum(hist, axis=1)
-        remf = rem.astype(jnp.float32)[:, None]
-        b = jnp.minimum(jnp.sum((cum <= remf).astype(jnp.int32), axis=1),
+        b = jnp.minimum(jnp.sum((cum <= rem[:, None]).astype(jnp.int32),
+                                axis=1),
                         NB - 1)  # first bin whose cum exceeds rem
         below = jnp.where(
             b > 0,
             jnp.take_along_axis(cum, jnp.maximum(b - 1, 0)[:, None],
                                 axis=1)[:, 0],
-            0.0)
-        rem = rem - below.astype(jnp.int32)
+            0)
+        rem = rem - below
         prefix = prefix | (b.astype(jnp.uint32) << shift)
 
     neg = (prefix >> 31) == 0  # keys < 2^31 came from negative floats
@@ -134,9 +147,12 @@ def _select_impl(v, q100, P, axis_names=()):
     # squash non-NaN semantics: nanpercentile ignores NaN only; +-inf
     # participate in jnp's sort.  The callers (classify._finite_or_nan)
     # pre-map non-finite to NaN, so isfinite == not-NaN here.
-    counts = jnp.sum(jnp.isfinite(v), dtype=jnp.float32)
+    # exact integer finite count (a dtype=f32 sum rounds above 2^24),
+    # converted ONCE to f32 for the jnp-parity interpolation formula
+    counts_i = jnp.sum(jnp.isfinite(v), dtype=jnp.int32)
     if axis_names:
-        counts = jax.lax.psum(counts, axis_names)
+        counts_i = jax.lax.psum(counts_i, axis_names)
+    counts = counts_i.astype(jnp.float32)
     q = q100.astype(jnp.float32) / 100.0
     t = q * (counts - 1.0)
     low = jnp.floor(t)
@@ -146,6 +162,10 @@ def _select_impl(v, q100, P, axis_names=()):
     low = jnp.maximum(0.0, jnp.minimum(low, counts - 1.0))
     high = jnp.maximum(0.0, jnp.minimum(high, counts - 1.0))
     ranks = jnp.concatenate([low, high]).astype(jnp.int32)
+    # above 2^24 the f32 clamp can round UP past the last finite rank
+    # (counts - 1.0 == counts there); re-clamp in exact integers so
+    # q=100 selects the true max instead of walking into the NaN tail
+    ranks = jnp.minimum(ranks, jnp.maximum(counts_i - 1, 0))
     vals = _order_stats_impl(v, ranks, 2 * P, axis_names=axis_names)
     lv, hv = vals[:P], vals[P:]
     res = lv * lw + hv * hw
