@@ -379,6 +379,39 @@ def main():
                          "count"]), reps=3, burst=1)
         print(f"# zonal_stats 4096^2 (7 stats): {t*1e3:.1f} ms",
               file=sys.stderr)
+
+        # round-4 rebuild (host-hashed lattice matrices + separable
+        # takes) — pinned here so a regression to the old 3.2 s gather
+        # formulation is visible in the driver artifact
+        from xrspatial_tpu.terrain import generate_terrain
+        blank = DataArray(jnp.zeros((n2, n2), jnp.float32),
+                          dims=("y", "x"))
+        t = timed(lambda: generate_terrain(blank).data, reps=3, burst=1)
+        print(f"# generate_terrain 4096^2: {t*1e3:.1f} ms "
+              f"({mp2/t:.0f} Mpix/s)", file=sys.stderr)
+
+        # exact viewshed (round-5 scan screen): end-to-end wall time,
+        # host phases included (the exactness contract the reference
+        # meets at every size — numpy 7.24 s @3000^2, results.md:52)
+        ne = 2048
+        deme = gaussian_bump(ne, ne)
+        agge = DataArray(deme, dims=("y", "x"), name="deme",
+                         attrs={"res": (1.0, 1.0)})
+        agge["y"] = np.arange(ne, dtype=float)[::-1]
+        agge["x"] = np.arange(ne, dtype=float)
+        t0 = time.perf_counter()
+        out_e = viewshed(agge, x=float(ne // 2 - 7), y=float(ne // 2 + 3),
+                         observer_elev=2.0, exact=True)
+        _sync(out_e.data)
+        te_cold = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        out_e = viewshed(agge, x=float(ne // 2 - 7), y=float(ne // 2 + 3),
+                         observer_elev=2.0, exact=True)
+        _sync(out_e.data)
+        te_warm = time.perf_counter() - t0
+        print(f"# viewshed exact 2048^2: warm {te_warm:.2f} s "
+              f"(cold {te_cold:.2f} s; reference exact-everywhere "
+              f"~3.3 s extrapolated)", file=sys.stderr)
     except Exception as e:  # secondary benches must never kill the headline
         print(f"# secondary benches failed: {type(e).__name__}: {e}",
               file=sys.stderr)

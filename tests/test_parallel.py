@@ -452,3 +452,51 @@ def test_sharded_proximity_takes_jfa_sharded(monkeypatch):
     out_1 = np.asarray(proximity(base).data)
     assert calls, "sharded proximity did not take the distributed JFA"
     np.testing.assert_array_equal(out_sh, out_1)
+
+
+def test_viewshed_banded_bitwise_parity(mesh):
+    # the memory-scaling banded XDraw (minor-axis shards + K-row carry
+    # halos, kernels/viewshed.py::viewshed_grid_los_sharded_banded) is
+    # BIT-identical to the single-device scan: identical step math on
+    # identical operand values (halo rows are refreshed from the
+    # neighbor's exact owned carries every band)
+    from xrspatial_tpu.kernels.viewshed import (
+        viewshed_grid_los, viewshed_grid_los_sharded_banded)
+    rng = np.random.default_rng(21)
+    for shape in [(64, 64), (80, 52)]:       # divisible and not
+        data = (rng.random(shape) * 90).astype(np.float32)
+        data[3, 5] = np.nan
+        for (vr, vc) in [(shape[0] // 2, shape[1] // 2), (0, 0)]:
+            ref = np.asarray(viewshed_grid_los(
+                data, vr, vc, 5.0, 0.0, 1.0, 1.0))
+            out = np.asarray(viewshed_grid_los_sharded_banded(
+                jax.numpy.asarray(data), mesh, vr, vc,
+                5.0, 0.0, 1.0, 1.0))
+            np.testing.assert_array_equal(out, ref)
+
+
+def test_viewshed_sharded_takes_banded_path(mesh):
+    # the public dispatch must route sharded XDraw through the banded
+    # memory-scaling kernel (not the legacy replicate-whole-raster one)
+    import sys
+
+    import xrspatial_tpu.viewshed  # noqa: F401  (package shadows the name)
+    vs_mod = sys.modules["xrspatial_tpu.viewshed"]
+    calls = []
+    orig = vs_mod.viewshed_grid_los_sharded_banded
+
+    def spy(*a, **k):
+        calls.append(1)
+        return orig(*a, **k)
+
+    rng = np.random.default_rng(22)
+    data = (rng.random((64, 64)) * 80).astype(np.float32)
+    agg = _sharded_raster(data, mesh)
+    vs_mod.viewshed_grid_los_sharded_banded = spy
+    try:
+        out = vs_mod.viewshed(agg, x=float(agg['x'].data[20]),
+                              y=float(agg['y'].data[40]), exact=False)
+    finally:
+        vs_mod.viewshed_grid_los_sharded_banded = orig
+    assert calls, "sharded viewshed did not take the banded path"
+    assert np.asarray(out.data).shape == (64, 64)

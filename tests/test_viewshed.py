@@ -278,6 +278,7 @@ def test_f64_reeval_paths_bitwise_equal():
     np.testing.assert_array_equal(via_tables, via_gather)
 
 
+@pytest.mark.slow
 def test_default_path_is_exact_above_old_cliff():
     """300x300 (beyond the old 256^2 exactness cliff) must now take the
     exact path by default: output equals the exact kernel's."""
@@ -354,6 +355,7 @@ def test_los_agreement_bound_256():
     np.testing.assert_allclose(exact[both], los[both], rtol=1e-4, atol=1e-3)
 
 
+@pytest.mark.slow
 def test_exact_screen_bitwise_parity(monkeypatch):
     """The f32 interval screen (viewshed_exact._screened_visibility)
     must be BITWISE identical to the f64-only bucket evaluation — the

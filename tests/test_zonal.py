@@ -422,6 +422,7 @@ def _host_oracle_stats(zones_np, values_np):
     return {k: np.asarray(v) for k, v in out.items()}
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("nz", [4096 + 7, 16384])
 def test_many_zones_matmul_slabs_accuracy(monkeypatch, nz):
     """VERDICT r1 #5: >4096 zones must stay inside the 1e-5 contract.

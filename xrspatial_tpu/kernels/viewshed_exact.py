@@ -704,10 +704,11 @@ def _screen_pairs(al, kt_lo, kt_hi, it, c):
     """Sound (hi, lo) bounds per target over one candidate block — the
     lean pair kernel: 2 interval tests, 2 key tests, one linear
     interpolation (slopes precomputed per candidate, no divides, no
-    crossing selects).  Broadcast contract: the target operands carry a
-    trailing length-1 candidate axis, the candidate fields in ``c`` are
-    already shaped to broadcast against them (candidates on the LAST
-    axis); the max reduces that axis."""
+    crossing selects).  Broadcast contract: the target operands carry
+    trailing length-1 candidate axes, the candidate fields in ``c`` are
+    already shaped to broadcast against them (candidates on the
+    trailing axes, 1 or 2 of them); the max reduces every candidate
+    axis."""
     ninf = jnp.asarray(-jnp.inf, c["g1"].dtype)
     kb = c["key"]
     not_self = c["idx"] != it
@@ -718,25 +719,32 @@ def _screen_pairs(al, kt_lo, kt_hi, it, c):
     d = al - c["a1e"]
     gi = c["g1"] + d * jnp.where(d < 0, -c["s01"], c["s21"])
     gi = jnp.clip(gi, c["mn"], c["mx"])
-    hi = jnp.max(jnp.where(maybe, gi + c["tw"], ninf), axis=-1)
-    lo = jnp.max(jnp.where(sure, gi - c["ts"], ninf), axis=-1)
+    red = tuple(range(1, gi.ndim))
+    hi = jnp.max(jnp.where(maybe, gi + c["tw"], ninf), axis=red)
+    lo = jnp.max(jnp.where(sure, gi - c["ts"], ninf), axis=red)
     return hi, lo
+
+
+# per-scan-step target count for the screen evaluation: B buckets of C
+# targets are evaluated per step against one shared contiguous window
+# per tier.  Larger groups amortize the lax.scan step overhead but
+# widen every tier window by ~B*C extra candidates (the group spans a
+# wider angle range), so this is a step-latency vs pair-work tradeoff.
+_GROUP_TARGETS = 4096
 
 
 def _group_plan(metas, A, C):
     """Host grouping of the A angle-sorted buckets into G = A/B groups
-    that share one block-quantized candidate window per tier.
+    that share one CONTIGUOUS block-quantized candidate window per tier.
 
-    A lax.scan over per-bucket dynamic-sliced windows is pathological
-    on TPU: XLA splits the 8-table loop body into dozens of fusions
-    that materialize every (C, E) intermediate through HBM and lower
-    the axis-1 maxes as unfused reduce-window pyramids — measured
-    37 ms/bucket vs 0.07 ms/bucket for the identical pair kernel in a
-    fully-fused batched form.  So the screen is BATCHED instead: per
-    tier, each group's window is the union of its buckets' [los,
-    los+E) slices rounded out to whole E-blocks, fetched with a
-    row-gather (jnp.take over the leading axis — the TPU-friendly
-    take) and evaluated against all B*C targets of the group at once.
+    The round-4 batched formulation (one (G, B*C, NB*E) broadcast-reduce
+    per tier over `jnp.take` row-gathered windows) executed
+    pathologically on TPU — 78-108 s warm at 1024^2, with a 275-530 s
+    first-execution penalty per static shape (measured on-chip, round
+    5).  The screen therefore evaluates as a lax.scan over groups whose
+    body reads each tier window with a contiguous `dynamic_slice` — the
+    same shape-stable pattern as the f64 bucket path
+    (`_eval_buckets_impl`), which measures milliseconds per step.
 
     Soundness of the window superset: extra candidates beyond a
     bucket's exact slice either fail the cover test (the plan already
@@ -748,11 +756,11 @@ def _group_plan(metas, A, C):
     relied on.
 
     Returns (B, rows, NBs): rows[t] is the (G,) int32 first-block
-    index per group, NBs[t] the pow2-quantized per-group block count
-    (clipped reads stay in-table; needed blocks always fit because los
-    is pre-clamped to L - E)."""
+    index per group, NBs[t] the pow2-quantized per-group block count.
+    `_screen_run` caps NB at the tier's total block count and clamps
+    the start so every window is a valid in-table slice."""
     B = 1
-    while B * 2 <= A // 2048 and A % (B * 2) == 0:
+    while B * 2 * C <= _GROUP_TARGETS and A % (B * 2) == 0:
         B *= 2
     G = A // B
     rows, NBs = [], []
@@ -767,27 +775,72 @@ def _group_plan(metas, A, C):
     return B, tuple(rows), tuple(NBs)
 
 
-@partial(jax.jit, static_argnames=("offs", "A", "C", "Es", "NBs", "B",
-                                   "w", "taus"))
+# stacked-field order for the scan windows (idx rides separately as
+# int32 — flat indices above 2^24 are not exact in f32)
+_F13 = ("a0w", "a0n", "a2w", "a2n", "a1e", "g1", "s01", "s21", "mn",
+        "mx", "ts", "tw", "key")
+
+
 def _screen_run(packed, tperm, a1_t, d_t, rows, offs, A, C, Es, NBs, B,
                 w, vp_row, vp_col, ew, ns, vp_flat, taus=_TAUS_F32):
-    """One dispatch: carve the packed upload, expand every candidate
-    table, compute per-target gradients, and evaluate every bucket —
-    returning per-target (visible, ambiguous) classification bits.
+    """Carve the packed upload, expand every candidate table, and
+    evaluate every bucket — returning per-target (visible, ambiguous)
+    classification bits.
 
-    The evaluation is fully BATCHED (no scan): the global table runs
-    as one (N, G) broadcast-reduce, and each tier as a (G, B*C, NB*E)
-    broadcast-reduce over row-gathered group windows (see _group_plan
-    for why a per-bucket scan is pathological on TPU)."""
+    Deliberately split into THREE jits (carve / per-table expansion /
+    the scan) instead of one: the remote-compile service prices a
+    program superlinearly in its op count (CLAUDE.md: a fused 9-round
+    JFA body took 166 s vs ~10 s single-round), and the fused form of
+    this function measured 115 s cold at 512^2.  The per-table
+    expansion jit is keyed only on the table's padded length (a small
+    quantized menu, shared across sizes/viewpoints through the
+    persistent cache); the scan jit body is ~25 ops per tier."""
+    tabs = _carve(packed, offs)
+    stacks = tuple(_expand_stack(t, w, vp_row, vp_col, ew, ns,
+                                 E if i else None, taus)
+                   for i, (t, E) in enumerate(zip(tabs, (0,) + Es)))
+    return _screen_scan(stacks[0], stacks[1:], tperm, a1_t, d_t, rows,
+                        A, C, Es, NBs, B, w, vp_row, vp_col, ew, ns,
+                        vp_flat, taus)
+
+
+@partial(jax.jit, static_argnames=("w", "E", "taus"))
+def _expand_stack(tab, w, vp_row, vp_col, ew, ns, E=None,
+                  taus=_TAUS_F32):
+    """Expand one candidate table and stack the 13 predicate fields —
+    its own jit so the trig-heavy expansion graph compiles once per
+    padded table length, not once per full screen-shape signature.
+
+    ``E=None`` (the global table) returns ((13, L), (L,) idx).  With a
+    tier block length E the fields come back BLOCK-LEADING as
+    ((L/E, 13, E), (L/E, E) idx): the scan reads group windows with a
+    `dynamic_slice` on the LEADING block axis — one contiguous DMA.  A
+    traced-start slice on the minor-most axis lowers to a gather-class
+    op, which executed pathologically (214 s WARM at 512^2, measured
+    on-chip round 5 — same class as CLAUDE.md's per-element-gather
+    cliff)."""
+    ex = _expand_table(tab, w, vp_row, vp_col, ew, ns, taus)
+    if E is None:
+        return jnp.stack([ex[f] for f in _F13]), ex["idx"]
+    nblk = ex["idx"].shape[0] // E
+    stk = jnp.stack([ex[f].reshape(nblk, E) for f in _F13], axis=1)
+    return stk, ex["idx"].reshape(nblk, E)
+
+
+@partial(jax.jit, static_argnames=("A", "C", "Es", "NBs", "B", "w",
+                                   "taus"))
+def _screen_scan(glob, stacks, tperm, a1_t, d_t, rows, A, C, Es, NBs,
+                 B, w, vp_row, vp_col, ew, ns, vp_flat,
+                 taus=_TAUS_F32):
+    """The screen evaluation: a lax.scan over the G = A/B bucket
+    groups — each step evaluates its B*C targets against the small
+    global table plus one CONTIGUOUS dynamic-sliced window per tier
+    (see _group_plan for why the round-4 take-gathered batched form
+    was abandoned)."""
     dt = d_t.dtype
     tau_k = jnp.asarray(taus[5], dt)
     tau_gr = jnp.asarray(taus[3], dt)
     tg_abs = jnp.asarray(taus[4], dt)
-    tabs = _carve(packed, offs)
-    ex = tuple(_expand_table(t, w, vp_row, vp_col, ew, ns, taus)
-               for t in tabs)
-    glob = ex[0]
-    tiers = ex[1:]
 
     row = tperm // w
     col = tperm - row * w
@@ -804,26 +857,45 @@ def _screen_run(packed, tperm, a1_t, d_t, rows, offs, A, C, Es, NBs, B,
     kt_hi = key_t * (one + tau_k)
     kt_lo = key_t * (one - tau_k)
 
-    # global table: every target against all G global candidates
-    hi, lo = _screen_pairs(a1_t[:, None], kt_lo[:, None],
-                           kt_hi[:, None], tperm[:, None],
-                           {f: v[None] for f, v in glob.items()})
-
-    # tiers: grouped block windows, batched over all groups
     G = A // B
-    al3 = a1_t.reshape(G, B * C)[:, :, None]
-    klo3 = kt_lo.reshape(G, B * C)[:, :, None]
-    khi3 = kt_hi.reshape(G, B * C)[:, :, None]
-    it3 = tperm.reshape(G, B * C)[:, :, None]
-    for tab, r, E, NB in zip(tiers, rows, Es, NBs):
-        nblk = tab["g1"].shape[0] // E
-        ridx = jnp.minimum(r[:, None] + jnp.arange(NB)[None, :],
-                           nblk - 1).reshape(-1)          # (G*NB,)
-        c3 = {f: jnp.take(v.reshape(nblk, E), ridx, axis=0)
-              .reshape(G, 1, NB * E) for f, v in tab.items()}
-        h2, l2 = _screen_pairs(al3, klo3, khi3, it3, c3)
-        hi = jnp.maximum(hi, h2.reshape(A * C))
-        lo = jnp.maximum(lo, l2.reshape(A * C))
+    T = B * C
+    gstk, gidx = glob
+    glob_c = {f: gstk[i][None] for i, f in enumerate(_F13)}
+    glob_c["idx"] = gidx[None]
+    xs = dict(al=a1_t.reshape(G, T), klo=kt_lo.reshape(G, T),
+              khi=kt_hi.reshape(G, T), it=tperm.reshape(G, T),
+              r=(jnp.stack(rows, axis=1) if rows
+                 else jnp.zeros((G, 0), jnp.int32)))
+
+    zero = jnp.int32(0)
+
+    def body(_, x):
+        al = x["al"][:, None]
+        klo = x["klo"][:, None]
+        khi = x["khi"][:, None]
+        it = x["it"][:, None]
+        hi, lo = _screen_pairs(al, klo, khi, it, glob_c)
+        al3 = al[:, :, None]
+        klo3 = klo[:, :, None]
+        khi3 = khi[:, :, None]
+        it3 = it[:, :, None]
+        for t, ((stk, idx), E, NB) in enumerate(zip(stacks, Es, NBs)):
+            nblk = idx.shape[0]
+            nb = min(NB, nblk)
+            r = jnp.minimum(x["r"][t], nblk - nb)
+            wnd = jax.lax.dynamic_slice(stk, (r, zero, zero),
+                                        (nb, len(_F13), E))
+            c = {f: wnd[:, i][None] for i, f in enumerate(_F13)}
+            c["idx"] = jax.lax.dynamic_slice(idx, (r, zero),
+                                             (nb, E))[None]
+            h2, l2 = _screen_pairs(al3, klo3, khi3, it3, c)
+            hi = jnp.maximum(hi, h2)
+            lo = jnp.maximum(lo, l2)
+        return None, (hi, lo)
+
+    _, (hi, lo) = jax.lax.scan(body, None, xs)
+    hi = hi.reshape(A * C)
+    lo = lo.reshape(A * C)
 
     tcls = tg_abs + tau_gr * jnp.abs(gt)
     vis = hi <= gt - tcls
@@ -966,14 +1038,33 @@ def _screened_visibility(data_np, vp_row, vp_col, observer_elev,
 
 @partial(jax.jit, static_argnames=("A", "C", "Es"))
 def _eval_buckets_impl(tgt, glob, tabs, tier_los, A, C, Es):
-    def body(_, k):
-        def sl(arr):
-            return jax.lax.dynamic_slice(arr, (k * C,), (C,))
+    """f64 bucket evaluation: lax.scan over buckets; each tier window
+    is read as two E-aligned blocks from a BLOCK-LEADING (L/E, E)
+    table layout — a leading-axis `dynamic_slice` (contiguous DMA).
+    The aligned block pair [j*E, (j+2)*E) always covers the planned
+    element window [lo, lo+E); candidates outside the planned window
+    cannot cover any bucket target (the plan guarantee is that all
+    covering candidates lie inside it), so they fail the predicate's
+    cover test and contribute -inf — bit-identical.  A traced-start
+    slice on the minor-most axis lowers to a gather-class op (the
+    round-5 on-chip screen measurement: 214 s warm at 512^2)."""
+    zero = jnp.int32(0)
+    tabs2 = tuple(
+        {f: v.reshape(v.shape[0] // E, E) for f, v in tab.items()}
+        for tab, E in zip(tabs, Es))
+    xs = {f: tgt[f].reshape(A, C) for f in ("a1", "key", "idx",
+                                            "grad_t")}
+    xs["j"] = (jnp.stack(
+        [jnp.clip(los // Es[t], 0, tabs2[t]["idx"].shape[0]
+                  - min(2, tabs2[t]["idx"].shape[0]))
+         for t, los in enumerate(tier_los)], axis=1).astype(jnp.int32)
+        if tier_los else jnp.zeros((A, 0), jnp.int32))
 
-        al = sl(tgt["a1"])[:, None]
-        kt = sl(tgt["key"])[:, None]
-        it = sl(tgt["idx"])[:, None]
-        gts = sl(tgt["grad_t"])
+    def body(_, x):
+        al = x["a1"][:, None]
+        kt = x["key"][:, None]
+        it = x["idx"][:, None]
+        gts = x["grad_t"]
 
         def run(c):
             return _interp_blocked_max(
@@ -982,15 +1073,17 @@ def _eval_buckets_impl(tgt, glob, tabs, tier_los, A, C, Es):
                 c["valid_b"][None], c["idx"][None])
 
         maxes = [run(glob)]
-        for tab, los, E in zip(tabs, tier_los, Es):
-            lo = los[k]
-            c = {f: jax.lax.dynamic_slice(v, (lo,), (E,))
+        for t, (tab, E) in enumerate(zip(tabs2, Es)):
+            nblk = tab["idx"].shape[0]
+            nb = min(2, nblk)
+            c = {f: jax.lax.dynamic_slice(
+                     v, (x["j"][t], zero), (nb, E)).reshape(nb * E)
                  for f, v in tab.items()}
             maxes.append(run(c))
         blocked = reduce(jnp.maximum, maxes)
         return None, blocked <= gts
 
-    _, vis = jax.lax.scan(body, None, jnp.arange(A))
+    _, vis = jax.lax.scan(body, None, xs)
     return vis
 
 

@@ -23,7 +23,9 @@ from typing import Union
 
 import numpy as np
 
-from .kernels.viewshed import viewshed_grid_los, viewshed_grid_los_sharded
+from .kernels.viewshed import (viewshed_grid_los,
+                               viewshed_grid_los_sharded,
+                               viewshed_grid_los_sharded_banded)
 from .kernels.viewshed_exact import viewshed_grid_exact
 from .parallel.halo import get_raster_mesh
 from .utils import wrap_like
@@ -118,12 +120,22 @@ def viewshed(raster: DataArray,
                                   observer_elev, target_elev,
                                   ew_res, ns_res)
     elif mesh is not None:
-        # distributed XDraw: the 4 octant scans spread over the mesh
-        # (work /4; the raster itself is replicated per device — each
-        # scan is whole-array sequential in its scan dimension)
-        out = viewshed_grid_los_sharded(
-            raster.data, mesh, y_view, x_view, observer_elev,
-            target_elev, ew_res, ns_res)
+        # distributed XDraw: all four octant scans sharded along their
+        # minor axis with banded carry-halo exchanges — per-device
+        # memory is the shard + a K-row halo, per-device work ~4/P of
+        # the single-device scans (kernels/viewshed.py
+        # viewshed_grid_los_sharded_banded; bit-identical).
+        # XRSPATIAL_XDRAW_REPLICATED=1 selects the legacy scheme (work
+        # /4 but the whole raster replicated per device).
+        import os
+        if os.environ.get("XRSPATIAL_XDRAW_REPLICATED") == "1":
+            out = viewshed_grid_los_sharded(
+                raster.data, mesh, y_view, x_view, observer_elev,
+                target_elev, ew_res, ns_res)
+        else:
+            out = viewshed_grid_los_sharded_banded(
+                raster.data, mesh, y_view, x_view, observer_elev,
+                target_elev, ew_res, ns_res)
     else:
         # large rasters: O(N * max_dim) batched line-of-sight (float32);
         # geometrically equivalent, may differ from the sweep at near-tie
