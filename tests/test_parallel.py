@@ -300,6 +300,7 @@ def test_a_star_warns_on_sharded_input():
         a_star_search(agg, start, goal)
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("small_mesh_shape", [(1, 2), (1, 3)])
 def test_viewshed_sharded_small_mesh_parity(small_mesh_shape):
     # fewer devices than octants: a per-device single scan would DROP
@@ -322,6 +323,7 @@ def test_viewshed_sharded_small_mesh_parity(small_mesh_shape):
     np.testing.assert_allclose(out, ref, rtol=1e-5)
 
 
+@pytest.mark.slow
 def test_viewshed_sharded_xdraw_parity(mesh):
     # the 4 octant scans distribute over the mesh (lax.switch + pmax);
     # results must match the single-device XDraw bit-for-bit
@@ -392,7 +394,8 @@ def test_run_stencil_3d_leading_dim():
 
 @pytest.mark.parametrize("shape,meshshape,metric_name", [
     ((64, 64), (2, 4), "EUCLIDEAN"),
-    ((768, 512), (2, 4), "EUCLIDEAN"),   # 512-stride global GSPMD round
+    pytest.param((768, 512), (2, 4), "EUCLIDEAN",
+                 marks=pytest.mark.slow),   # 512-stride global GSPMD round
     ((96, 64), (4, 2), "MANHATTAN"),
 ])
 def test_sharded_jfa_bit_parity(shape, meshshape, metric_name):
@@ -454,14 +457,16 @@ def test_sharded_proximity_takes_jfa_sharded(monkeypatch):
     np.testing.assert_array_equal(out_sh, out_1)
 
 
-def test_viewshed_banded_bitwise_parity(mesh):
+def test_viewshed_banded_bitwise_parity():
     # the memory-scaling banded XDraw (minor-axis shards + K-row carry
     # halos, kernels/viewshed.py::viewshed_grid_los_sharded_banded) is
     # BIT-identical to the single-device scan: identical step math on
     # identical operand values (halo rows are refreshed from the
-    # neighbor's exact owned carries every band)
+    # neighbor's exact owned carries every band).  One 4x2 mesh here;
+    # the driver dryrun asserts the same bit-parity on its own mesh.
     from xrspatial_tpu.kernels.viewshed import (
         viewshed_grid_los, viewshed_grid_los_sharded_banded)
+    mesh = make_raster_mesh(4, 2)
     rng = np.random.default_rng(21)
     for shape in [(64, 64), (80, 52)]:       # divisible and not
         data = (rng.random(shape) * 90).astype(np.float32)

@@ -193,6 +193,7 @@ def test_proximity_random_exactness():
         np.testing.assert_allclose(out, expected, rtol=1e-5, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_manhattan_scan_transform_exactness():
     """The separable Manhattan transform (4 scans, kernels/jfa.py::
     manhattan_transform) matches brute force for every payload mode,

@@ -142,8 +142,8 @@ def test_nan_cells_invisible_and_transparent():
 @pytest.mark.parametrize("shape,vp", [
     ((48, 64), (10, 10)),
     ((64, 48), (0, 0)),        # corner viewpoint
-    ((57, 57), (56, 56)),      # opposite corner, odd size
-    ((40, 90), (20, 3)),       # wide raster, edge viewpoint
+    pytest.param((57, 57), (56, 56), marks=pytest.mark.slow),
+    pytest.param((40, 90), (20, 3), marks=pytest.mark.slow),
 ])
 def test_exact_bucket_bitwise_vs_pairwise(shape, vp):
     """VERDICT r2 #1 'done' gate (CPU sizes): the angle-sorted bucket

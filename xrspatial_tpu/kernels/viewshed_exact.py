@@ -210,6 +210,16 @@ def _bucket_plan(at, vp_row, vp_col, C, targets=None, cache=None,
         need = max(int((his - los).max()), 128)
         E = 1 << (need - 1).bit_length()
         tiers.append((tidx, los, E))
+    if not dense and tiers:
+        # sparse (re-eval) plans: unify every tier's window length to
+        # the max — each new viewpoint produces a different ambiguous
+        # set, and per-tier E variation multiplies distinct static
+        # shapes for the level-2 screen, each costing a remote compile
+        # of ~minutes (the dominant re-eval cost; round-5 on-chip
+        # measurement).  Wider windows are sound supersets (the clamp
+        # epilogue argument) and the sparse evaluation volume is tiny.
+        E_uni = max(E for _, _, E in tiers)
+        tiers = [(tidx, los, E_uni) for tidx, los, _ in tiers]
     return tperm, glob_idx, tiers, A, C
 
 
@@ -610,10 +620,14 @@ def _screen_build_tables(sc, glob_idx, glob_shift, tiers, tier_shifts,
         out["dx"][:m] = sc["d_x" + s][idx]
         return out
 
-    # 256-entry glob quantum: the batched screen evaluates every
-    # target against the whole padded glob table, so its pad is pure
-    # pair work (N x pad pairs at 4096^2 is ~4G per 256)
-    host = [tab(glob_idx, glob_shift, _round_up(glob_idx.size, 256))]
+    # 256-entry glob quantum (pow2 above 1024: fewer distinct static
+    # shapes, hence fewer remote compiles, once the pad fraction is
+    # small anyway): the screen evaluates every target against the
+    # whole padded glob table, so its pad is pure pair work
+    gsz = glob_idx.size
+    gL = (_round_up(gsz, 256) if gsz <= 1024
+          else 1 << (gsz - 1).bit_length())
+    host = [tab(glob_idx, glob_shift, gL)]
     metas = []
     for (tidx, los, E), shifted in zip(tiers, tier_shifts):
         # L must divide into whole E-blocks for the grouped window
