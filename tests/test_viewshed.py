@@ -381,3 +381,19 @@ def test_exact_screen_bitwise_parity(monkeypatch):
                                            1.0, -1.0))
         monkeypatch.delenv("XRSPATIAL_VS_NO_SCREEN")
         assert np.array_equal(a, b, equal_nan=True)
+
+
+def test_l2_screen_path_bitwise(monkeypatch):
+    """With the small-ambiguity oracle shortcut disabled, the device-f64
+    re-screen (level 2, unified-E windows) must produce the same final
+    visibility as the shortcut path — both are sound classifiers over
+    the same f64 predicate."""
+    from xrspatial_tpu.kernels import viewshed_exact as VE
+    rng = np.random.default_rng(11)
+    data = (rng.random((72, 72)) * 70).astype(np.float64)
+    data[30, :] += 90.0
+    args = (data, 36, 20, 4.0, 0.0, 1.0, 1.0)
+    via_shortcut = np.asarray(VE.viewshed_grid_exact(*args))
+    monkeypatch.setattr(VE, "_L2_MIN_AMB", 0)
+    via_screen2 = np.asarray(VE.viewshed_grid_exact(*args))
+    np.testing.assert_array_equal(via_shortcut, via_screen2)

@@ -103,7 +103,7 @@ def _tier_cache(at, vp_row, vp_col):
 
 
 def _bucket_plan(at, vp_row, vp_col, C, targets=None, cache=None,
-                 dense_order=None):
+                 dense_order=None, unify_E=False):
     """Host-side plan: target permutation, tier tables, slice offsets.
 
     ``targets`` restricts the TARGET side to a subset of cell indices
@@ -210,14 +210,16 @@ def _bucket_plan(at, vp_row, vp_col, C, targets=None, cache=None,
         need = max(int((his - los).max()), 128)
         E = 1 << (need - 1).bit_length()
         tiers.append((tidx, los, E))
-    if not dense and tiers:
-        # sparse (re-eval) plans: unify every tier's window length to
-        # the max — each new viewpoint produces a different ambiguous
-        # set, and per-tier E variation multiplies distinct static
-        # shapes for the level-2 screen, each costing a remote compile
-        # of ~minutes (the dominant re-eval cost; round-5 on-chip
-        # measurement).  Wider windows are sound supersets (the clamp
-        # epilogue argument) and the sparse evaluation volume is tiny.
+    if unify_E and not dense and tiers:
+        # level-2 screen plans only: unify every tier's window length
+        # to the max — each new viewpoint produces a different
+        # ambiguous set, and per-tier E variation multiplies distinct
+        # static shapes for the level-2 screen, each costing a remote
+        # compile of ~minutes (the dominant re-eval cost; round-5
+        # on-chip measurement).  Wider windows are sound supersets
+        # (the clamp epilogue argument).  The ORACLE paths keep exact
+        # per-tier windows: their compile is cheap and unification
+        # inflates the gathered-table upload ~3x.
         E_uni = max(E for _, _, E in tiers)
         tiers = [(tidx, los, E_uni) for tidx, los, _ in tiers]
     return tperm, glob_idx, tiers, A, C
@@ -486,6 +488,11 @@ _TG_ABS = np.float32(1e-10)    # absolute dust floor for |g| ~ 0
 _TAUS_F32 = (float(_TAU_C), float(_KA_S), float(_KA_W),
              float(_TAU_GR), float(_TG_ABS), float(_TAU_K))
 _TAUS_F64 = (1e-12, 8e-12, 1e-11, 1e-12, 1e-30, 1e-12)
+
+# below this many level-1-ambiguous targets the f64 re-screen is
+# skipped in favour of the gathered f64 oracle (same pair volume, one
+# fewer compile family; see the shortcut in _screened_visibility)
+_L2_MIN_AMB = 2048
 
 
 def _angle_plane32(h, w, vp_row, vp_col):
@@ -982,13 +989,39 @@ def _screened_visibility(data_np, vp_row, vp_col, observer_elev,
             visible[tperm] = vis_np
             mark("reeval/full-valve")
             return visible
+        if amb_idx.size <= _L2_MIN_AMB:
+            # small ambiguous sets skip the device-f64 re-screen and go
+            # STRAIGHT to the gathered f64 oracle: the oracle evaluates
+            # the same A*C*sumE pair volume the re-screen would, so for
+            # a few thousand targets the re-screen only adds a whole
+            # extra compile family (measured minutes per new static
+            # shape through the remote-compile service).  The re-screen
+            # pays off only when ambiguity is large (rugged 4096^2
+            # terrain measured 95.7k ambiguous, BENCH_NOTES r4).
+            L = 1 << (max(int(amb_idx.size), 128) - 1).bit_length()
+            sub = np.pad(amb_idx, (0, L - amb_idx.size), mode="edge")
+            tperm_a, glob_a, tiers_a, A_a, C_a = _bucket_plan(
+                at32, vp_row, vp_col, min(chunk, 128), targets=sub,
+                cache=plan_cache)
+            mark(f"reeval/plan-direct amb={amb_idx.size} A={A_a} "
+                 f"sumE={sum(E for _, _, E in tiers_a)}")
+            with x64():
+                attrs_of = cell_attrs_subset_fn(
+                    data_np, vp_row, vp_col, observer_elev,
+                    target_elev, ew_res, ns_res)
+                vis_a = _run_buckets_f64_gathered(
+                    attrs_of, tperm_a, glob_a, tiers_a, A_a, C_a,
+                    mark=mark)
+            visible[tperm_a] = vis_a
+            mark("reeval")
+            return visible
         # pad the subset to a power-of-two length quantum (stable
         # compile shapes); edge-repeat duplicates write equal values
         L = 1 << (max(int(amb_idx.size), 128) - 1).bit_length()
         sub = np.pad(amb_idx, (0, L - amb_idx.size), mode="edge")
         tperm_a, glob_i, tiers_a, A_a, C_a = _bucket_plan(
             at32, vp_row, vp_col, min(chunk, 128), targets=sub,
-            cache=plan_cache)
+            cache=plan_cache, unify_E=True)
         mark(f"reeval/plan amb={amb_idx.size} A={A_a} "
              f"sumE={sum(E for _, _, E in tiers_a)}")
         # level 2: re-screen the ambiguous subset in DEVICE float64
