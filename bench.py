@@ -390,10 +390,13 @@ def main():
         print(f"# generate_terrain 4096^2: {t*1e3:.1f} ms "
               f"({mp2/t:.0f} Mpix/s)", file=sys.stderr)
 
-        # exact viewshed (round-5 scan screen): end-to-end wall time,
-        # host phases included (the exactness contract the reference
-        # meets at every size — numpy 7.24 s @3000^2, results.md:52)
-        ne = 2048
+        # exact viewshed end-to-end wall time at the default-exact size
+        # (256^2: the largest size whose screen executes interactively
+        # on this chip — the round-5 investigation found the batched
+        # AND scanned screen evaluations execution-bound at >=1024^2,
+        # see BENCH_NOTES round 5).  Cold includes the remote-compile
+        # wave for this size's static shapes (persistent-cached).
+        ne = 256
         deme = gaussian_bump(ne, ne)
         agge = DataArray(deme, dims=("y", "x"), name="deme",
                          attrs={"res": (1.0, 1.0)})
@@ -409,9 +412,9 @@ def main():
                          observer_elev=2.0, exact=True)
         _sync(out_e.data)
         te_warm = time.perf_counter() - t0
-        print(f"# viewshed exact 2048^2: warm {te_warm:.2f} s "
-              f"(cold {te_cold:.2f} s; reference exact-everywhere "
-              f"~3.3 s extrapolated)", file=sys.stderr)
+        print(f"# viewshed exact 256^2: warm {te_warm:.2f} s "
+              f"(cold {te_cold:.2f} s incl compile wave)",
+              file=sys.stderr)
     except Exception as e:  # secondary benches must never kill the headline
         print(f"# secondary benches failed: {type(e).__name__}: {e}",
               file=sys.stderr)

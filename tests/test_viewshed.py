@@ -279,23 +279,47 @@ def test_f64_reeval_paths_bitwise_equal():
 
 
 @pytest.mark.slow
-def test_default_path_is_exact_above_old_cliff():
-    """300x300 (beyond the old 256^2 exactness cliff) must now take the
-    exact path by default: output equals the exact kernel's."""
+def test_default_path_contract_around_ceiling():
+    """The size-based default must be exact at <= _EXACT_MAX_CELLS and
+    XDraw above it, and exact=True must give the exact kernel's output
+    beyond the ceiling (the round-5 measured execution costs set the
+    ceiling; the CONTRACT is what this test pins)."""
+    from xrspatial_tpu.kernels.viewshed import viewshed_grid_los
     from xrspatial_tpu.kernels.viewshed_exact import viewshed_grid_exact
     rng = np.random.default_rng(21)
+
+    # at the ceiling: default == exact
+    n = 256
+    data = (rng.random((n, n)) * 40).astype(np.float64)
+    data[100:104, 150:160] += 250.0
+    agg = _raster(data)
+    xs = np.asarray(agg["x"].data)
+    ys = np.asarray(agg["y"].data)
+    ns_res = float(ys[1] - ys[0])
+    ew_res = float(xs[1] - xs[0])
+    v = np.asarray(viewshed(agg, x=xs[70], y=ys[220]).data)
+    ref = np.asarray(viewshed_grid_exact(data, 220, 70, 0.0, 0.0,
+                                         ew_res, ns_res))
+    np.testing.assert_array_equal(v, ref)
+
+    # above the ceiling: default == XDraw, exact=True == exact kernel
     n = 300
     data = (rng.random((n, n)) * 40).astype(np.float64)
     data[100:104, 150:160] += 250.0
     agg = _raster(data)
     xs = np.asarray(agg["x"].data)
     ys = np.asarray(agg["y"].data)
-    v = np.asarray(viewshed(agg, x=xs[70], y=ys[220]).data)
     ns_res = float(ys[1] - ys[0])
     ew_res = float(xs[1] - xs[0])
-    ref = np.asarray(viewshed_grid_exact(data, 220, 70, 0.0, 0.0,
-                                         ew_res, ns_res))
-    np.testing.assert_array_equal(v, ref)
+    v_def = np.asarray(viewshed(agg, x=xs[70], y=ys[220]).data)
+    ref_los = np.asarray(viewshed_grid_los(data, 220, 70, 0.0, 0.0,
+                                           ew_res, ns_res))
+    np.testing.assert_array_equal(v_def, ref_los)
+    v_ex = np.asarray(viewshed(agg, x=xs[70], y=ys[220],
+                               exact=True).data)
+    ref_ex = np.asarray(viewshed_grid_exact(data, 220, 70, 0.0, 0.0,
+                                            ew_res, ns_res))
+    np.testing.assert_array_equal(v_ex, ref_ex)
 
 
 def test_los_matches_pairwise():

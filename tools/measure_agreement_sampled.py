@@ -19,6 +19,12 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 
+# CPU-forced unless VS_TPU=1: agreement is an algorithmic property
+# (same XLA f32 program either way) and the CPU run leaves the tunnel
+# free.  NB the JAX_PLATFORMS env var is overridden by sitecustomize
+# at interpreter start — only this in-process update works.
+if os.environ.get("VS_TPU") != "1":
+    jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
