@@ -289,16 +289,16 @@ def test_default_path_contract_around_ceiling():
     rng = np.random.default_rng(21)
 
     # at the ceiling: default == exact
-    n = 256
+    n = 128
     data = (rng.random((n, n)) * 40).astype(np.float64)
-    data[100:104, 150:160] += 250.0
+    data[100:104, 50:60] += 250.0
     agg = _raster(data)
     xs = np.asarray(agg["x"].data)
     ys = np.asarray(agg["y"].data)
     ns_res = float(ys[1] - ys[0])
     ew_res = float(xs[1] - xs[0])
-    v = np.asarray(viewshed(agg, x=xs[70], y=ys[220]).data)
-    ref = np.asarray(viewshed_grid_exact(data, 220, 70, 0.0, 0.0,
+    v = np.asarray(viewshed(agg, x=xs[40], y=ys[100]).data)
+    ref = np.asarray(viewshed_grid_exact(data, 100, 40, 0.0, 0.0,
                                          ew_res, ns_res))
     np.testing.assert_array_equal(v, ref)
 

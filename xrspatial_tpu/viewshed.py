@@ -1,7 +1,7 @@
 """Viewshed: visible cells from an observer location.
 
 TPU-native counterpart of reference ``xrspatial/viewshed.py``.  Rasters up
-to ``_EXACT_MAX_CELLS`` (256x256) evaluate the exact GRASS r.viewshed
+to ``_EXACT_MAX_CELLS`` (128x128) evaluate the exact GRASS r.viewshed
 visibility predicate — the reference's radial sweep + red-black tree
 (viewshed.py:1337-1502) reformulated as angle-sorted bucket evaluation
 (kernels/viewshed_exact.py, ~N^1.5 work, float64, bit-identical to the
@@ -42,15 +42,16 @@ TARGET_ELEV = 0
 # size.  Round-5 CLEAN on-chip measurements (single tunnel client, a
 # device->host fetch as the barrier) found the screen evaluation
 # execution-bound at scale in BOTH its batched (r4) and scanned (r5)
-# forms: warm end-to-end 0.83 s at 128^2 but ~990 s at 1024^2 — and
-# showed the older "0.9 s @512^2 / 3.7 s @1024^2 / 18 s @2048^2"
-# steady-state numbers to be unreproducible (their measurement
-# overlapped other tunnel clients).  The default-exact ceiling is
-# therefore 256^2 until the screen's pair evaluation moves into a
-# Pallas kernel (VMEM-resident windows; see BENCH_NOTES round 5);
-# exact=True still gives the bit-exact result at any size, at the
+# forms: warm end-to-end 0.83 s at 128^2, ~25 s at 256^2, ~15+ min at
+# 1024^2 (flat across same-process reps, zero recompiles) — and showed
+# the older "0.9 s @512^2 / 3.7 s @1024^2 / 18 s @2048^2" steady-state
+# numbers to be unreproducible (their measurement overlapped other
+# tunnel clients).  The default-exact ceiling is therefore 128^2 (the
+# largest sub-second size) until the screen's pair evaluation moves
+# into a Pallas kernel (VMEM-resident windows; see BENCH_NOTES round
+# 5); exact=True still gives the bit-exact result at any size, at the
 # documented cost.
-_EXACT_MAX_CELLS = 256 * 256
+_EXACT_MAX_CELLS = 128 * 128
 
 
 def viewshed(raster: DataArray,
@@ -76,12 +77,12 @@ def viewshed(raster: DataArray,
         ``True`` forces the exact GRASS predicate (angle-sorted bucket
         evaluation, ~N^1.5 work, float64) at any size; ``False`` forces
         the XDraw octant-scan approximation; ``None`` (default) selects
-        by size (exact up to 256x256 cells — see the _EXACT_MAX_CELLS
+        by size (exact up to 128x128 cells — see the _EXACT_MAX_CELLS
         note for the round-5 measurements behind this ceiling).
 
     Notes
     -----
-    Rasters with at most 256x256 cells use the exact GRASS predicate
+    Rasters with at most 128x128 cells use the exact GRASS predicate
     (angular spans + interpolated gradients, float64 decisions behind a
     sound float32 interval screen), computed by the angle-sorted bucket
     formulation in kernels/viewshed_exact.py — bit-identical to the
