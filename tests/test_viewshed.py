@@ -421,3 +421,22 @@ def test_l2_screen_path_bitwise(monkeypatch):
     monkeypatch.setattr(VE, "_L2_MIN_AMB", 0)
     via_screen2 = np.asarray(VE.viewshed_grid_exact(*args))
     np.testing.assert_array_equal(via_shortcut, via_screen2)
+
+
+def test_pallas_screen_interpret_bitwise(monkeypatch):
+    """The Pallas pair kernel (kernels/pallas_screen.py) must classify
+    identically to the XLA scan screen: same plan, same predicate
+    function object, windows are aligned-block supersets of the scan's
+    (sound by the cover-test argument) — so the final visibility is
+    bit-identical."""
+    from xrspatial_tpu.kernels import viewshed_exact as VE
+    rng = np.random.default_rng(9)
+    data = (rng.random((96, 112)) * 60).astype(np.float64)
+    data[40, :] += 80.0
+    data[np.unravel_index(rng.integers(0, data.size, 12),
+                          data.shape)] = np.nan
+    args = (data, 50, 30, 3.0, 0.5, 1.0, -1.0)
+    base = np.asarray(VE.viewshed_grid_exact(*args))
+    monkeypatch.setattr(VE, "_PALLAS_SCREEN_INTERPRET", True)
+    pal = np.asarray(VE.viewshed_grid_exact(*args))
+    np.testing.assert_array_equal(base, pal)

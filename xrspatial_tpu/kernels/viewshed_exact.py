@@ -820,9 +820,75 @@ def _screen_run(packed, tperm, a1_t, d_t, rows, offs, A, C, Es, NBs, B,
     stacks = tuple(_expand_stack(t, w, vp_row, vp_col, ew, ns,
                                  E if i else None, taus)
                    for i, (t, E) in enumerate(zip(tabs, (0,) + Es)))
+    if _use_pallas_screen(taus, a1_t, B, C, stacks[0][1].shape[0]):
+        return _screen_pallas_run(
+            stacks[0], stacks[1:], tperm, a1_t, d_t, rows, A, C, Es,
+            NBs, B, w, vp_row, vp_col, ew, ns, vp_flat,
+            interpret=_PALLAS_SCREEN_INTERPRET)
     return _screen_scan(stacks[0], stacks[1:], tperm, a1_t, d_t, rows,
                         A, C, Es, NBs, B, w, vp_row, vp_col, ew, ns,
                         vp_flat, taus)
+
+
+# test hook: True routes the Pallas screen through interpret mode on
+# any backend (tests/test_viewshed.py pins bit-parity vs _screen_scan)
+_PALLAS_SCREEN_INTERPRET = False
+
+
+def _use_pallas_screen(taus, a1_t, B, C, Lg):
+    """Pallas pair-kernel eligibility: OPT-IN via
+    XRSPATIAL_SCREEN_PALLAS=1 (or the interpret test hook).  On-chip
+    A/Bs (BENCH_NOTES round 5) measured the Pallas kernel warm-equal to
+    the XLA scan screen (256^2 0.26 s, 512^2 0.8 s, 1024^2 ~10 s end to
+    end either way) while its cold compile costs 145-375 s through the
+    remote-compile service vs the scan's 2-4 s — so the scan stays the
+    default and the kernel is kept as a validated alternative.  f32
+    level-1 screen only (f64 is the rare large-ambiguity re-screen),
+    lane-aligned target and glob blocks."""
+    import os
+    if taus != _TAUS_F32 or a1_t is None:
+        return False
+    if os.environ.get("XRSPATIAL_NO_PALLAS") == "1":
+        return False
+    if (B * C) % 128 or Lg % 128:
+        return False
+    if _PALLAS_SCREEN_INTERPRET:
+        return True
+    return (os.environ.get("XRSPATIAL_SCREEN_PALLAS") == "1"
+            and jax.default_backend() == "tpu")
+
+
+@partial(jax.jit, static_argnames=("A", "C", "Es", "NBs", "B", "w",
+                                   "interpret"))
+def _screen_pallas_run(glob, stacks, tperm, a1_t, d_t, rows, A, C, Es,
+                       NBs, B, w, vp_row, vp_col, ew, ns, vp_flat,
+                       interpret=False):
+    """Target prep + Pallas pair kernel + classification — the Pallas
+    twin of `_screen_scan` (identical plan, identical predicate
+    function object, identical classification; kernels/pallas_screen.py
+    documents why the scan's XLA execution had to be replaced)."""
+    from .pallas_screen import screen_hilo_pallas
+    dt = d_t.dtype
+    tau_k = jnp.asarray(_TAUS_F32[5], dt)
+    tau_gr = jnp.asarray(_TAUS_F32[3], dt)
+    tg_abs = jnp.asarray(_TAUS_F32[4], dt)
+    row = tperm // w
+    col = tperm - row * w
+    dy = (row - vp_row).astype(dt)
+    dx = (col - vp_col).astype(dt)
+    key_t = (dx * ew) ** 2 + (dy * ns) ** 2
+    one = jnp.asarray(1.0, dt)
+    gt = jnp.arctan(d_t / jnp.sqrt(jnp.where(key_t == 0, one, key_t)))
+    kt_hi = key_t * (one + tau_k)
+    kt_lo = key_t * (one - tau_k)
+    hi, lo = screen_hilo_pallas(glob, stacks, a1_t, kt_lo, kt_hi,
+                                tperm, rows, A, C, Es, NBs, B,
+                                interpret=interpret)
+    tcls = tg_abs + tau_gr * jnp.abs(gt)
+    vis = hi <= gt - tcls
+    blk = lo > gt + tcls
+    amb = ~(vis | blk) | (tperm == vp_flat)
+    return vis, amb
 
 
 @partial(jax.jit, static_argnames=("w", "E", "taus"))
