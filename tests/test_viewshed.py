@@ -360,7 +360,7 @@ def test_los_agreement_bound_256():
     import pathlib
     sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent
                            / "tools"))
-    from measure_viewshed_agreement import make_terrain
+    from terrain_util import make_terrain
 
     from xrspatial_tpu.kernels.viewshed import (viewshed_grid,
                                                 viewshed_grid_los)

@@ -30,7 +30,9 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 import numpy as np
 
-from measure_viewshed_agreement import make_terrain
+from terrain_util import make_terrain
+
+print("backend:", jax.default_backend(), flush=True)
 
 
 def sampled_exact_visibility(data, vr, vc, obs, tgt_elev, ew, ns,

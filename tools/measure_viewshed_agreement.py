@@ -24,29 +24,9 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 import numpy as np
 
 
-def make_terrain(n, seed):
-    """Smooth multi-scale terrain: sum of bilinearly-upsampled noise."""
-    rng = np.random.default_rng(seed)
-    out = np.zeros((n, n), np.float64)
-    k = 4
-    amp = 400.0
-    while k <= n:
-        coarse = rng.standard_normal((k, k))
-        # bilinear upsample to n x n
-        yi = np.linspace(0, k - 1, n)
-        xi = np.linspace(0, k - 1, n)
-        y0 = np.clip(yi.astype(int), 0, k - 2)
-        x0 = np.clip(xi.astype(int), 0, k - 2)
-        fy = (yi - y0)[:, None]
-        fx = (xi - x0)[None, :]
-        c = (coarse[np.ix_(y0, x0)] * (1 - fy) * (1 - fx)
-             + coarse[np.ix_(y0 + 1, x0)] * fy * (1 - fx)
-             + coarse[np.ix_(y0, x0 + 1)] * (1 - fy) * fx
-             + coarse[np.ix_(y0 + 1, x0 + 1)] * fy * fx)
-        out += amp * c
-        amp /= 2.2
-        k *= 2
-    return out.astype(np.float32)
+from terrain_util import make_terrain  # noqa: F401,E402
+
+print("backend:", jax.default_backend(), flush=True)
 
 
 def main():

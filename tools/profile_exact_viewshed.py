@@ -25,7 +25,9 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 import numpy as np
 
-from measure_viewshed_agreement import make_terrain
+from terrain_util import make_terrain
+
+print("backend:", jax.default_backend(), flush=True)
 
 
 def profile(n, chunk=512, reps=2):

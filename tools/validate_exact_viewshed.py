@@ -32,7 +32,9 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 import jax.numpy as jnp
 import numpy as np
 
-from measure_viewshed_agreement import make_terrain
+from terrain_util import make_terrain
+
+print("backend:", jax.default_backend(), flush=True)
 
 # full pairwise oracle above this size is intractable; sample targets
 FULL_ORACLE_MAX = 512 * 512
