@@ -390,13 +390,13 @@ def main():
         print(f"# generate_terrain 4096^2: {t*1e3:.1f} ms "
               f"({mp2/t:.0f} Mpix/s)", file=sys.stderr)
 
-        # exact viewshed end-to-end wall time at the default-exact size
-        # (128^2: the largest sub-second size — the round-5
-        # investigation found the batched AND scanned screen
-        # evaluations execution-bound above it: ~25 s/call at 256^2,
-        # see BENCH_NOTES round 5).  Cold includes the remote-compile
-        # wave for this size's static shapes (persistent-cached).
-        ne = 128
+        # exact viewshed end-to-end wall time at the default-exact
+        # ceiling (1024^2: true on-chip warm ~4 s — the round-5
+        # post-mortem retracted the CPU-contaminated "990 s @1024^2"
+        # table, BENCH_NOTES r5).  Cold includes the once-per-machine
+        # remote-compile wave for this size's static shapes
+        # (persistent-cached; ~1-2 min on a fresh cache).
+        ne = 1024
         deme = gaussian_bump(ne, ne)
         agge = DataArray(deme, dims=("y", "x"), name="deme",
                          attrs={"res": (1.0, 1.0)})
@@ -412,7 +412,7 @@ def main():
                          observer_elev=2.0, exact=True)
         _sync(out_e.data)
         te_warm = time.perf_counter() - t0
-        print(f"# viewshed exact 128^2: warm {te_warm:.2f} s "
+        print(f"# viewshed exact {ne}^2: warm {te_warm:.2f} s "
               f"(cold {te_cold:.2f} s incl compile wave)",
               file=sys.stderr)
     except Exception as e:  # secondary benches must never kill the headline

@@ -279,13 +279,17 @@ def test_f64_reeval_paths_bitwise_equal():
 
 
 @pytest.mark.slow
-def test_default_path_contract_around_ceiling():
+def test_default_path_contract_around_ceiling(monkeypatch):
     """The size-based default must be exact at <= _EXACT_MAX_CELLS and
     XDraw above it, and exact=True must give the exact kernel's output
     beyond the ceiling (the round-5 measured execution costs set the
-    ceiling; the CONTRACT is what this test pins)."""
+    ceiling; the CONTRACT is what this test pins — the ceiling itself
+    is monkeypatched so the test stays cheap at any production value)."""
+    import importlib
+    VSMOD = importlib.import_module("xrspatial_tpu.viewshed")
     from xrspatial_tpu.kernels.viewshed import viewshed_grid_los
     from xrspatial_tpu.kernels.viewshed_exact import viewshed_grid_exact
+    monkeypatch.setattr(VSMOD, "_EXACT_MAX_CELLS", 128 * 128)
     rng = np.random.default_rng(21)
 
     # at the ceiling: default == exact
@@ -421,6 +425,32 @@ def test_l2_screen_path_bitwise(monkeypatch):
     monkeypatch.setattr(VE, "_L2_MIN_AMB", 0)
     via_screen2 = np.asarray(VE.viewshed_grid_exact(*args))
     np.testing.assert_array_equal(via_shortcut, via_screen2)
+    # the volume guard routes large gathered plans to the same L2 path
+    monkeypatch.setattr(VE, "_L2_MIN_AMB", 2048)
+    monkeypatch.setattr(VE, "_DIRECT_MAX_ELEMS", 0)
+    via_volume = np.asarray(VE.viewshed_grid_exact(*args))
+    np.testing.assert_array_equal(via_shortcut, via_volume)
+
+
+def test_l2_multislab_bitwise(monkeypatch):
+    """The slabbed level-2 re-screen (angle-ordered target slabs, one
+    shared f64 table build, unified window width) must match the
+    unslabbed result bit-for-bit: slabs partition the target set and
+    wider windows are sound supersets."""
+    from xrspatial_tpu.kernels import viewshed_exact as VE
+    # cone terrain: every sightline has constant gradient, so hundreds
+    # of true near-ties stay ambiguous after the f32 screen (amb=286)
+    h, w, vr, vc = 80, 88, 40, 22
+    rr, cc = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
+    data = 0.5 * np.sqrt((rr - vr) ** 2.0 + (cc - vc) ** 2.0)
+    args = (data, vr, vc, 0.0, 0.0, 1.0, 1.0)
+    base = np.asarray(VE.viewshed_grid_exact(*args))
+    monkeypatch.setattr(VE, "_L2_MIN_AMB", 0)
+    one_slab = np.asarray(VE.viewshed_grid_exact(*args))
+    np.testing.assert_array_equal(base, one_slab)
+    monkeypatch.setattr(VE, "_L2_SLAB", 64)   # 286 ambiguous -> 5 slabs
+    multi = np.asarray(VE.viewshed_grid_exact(*args))
+    np.testing.assert_array_equal(base, multi)
 
 
 def test_pallas_screen_interpret_bitwise(monkeypatch):

@@ -493,6 +493,17 @@ _TAUS_F64 = (1e-12, 8e-12, 1e-11, 1e-12, 1e-30, 1e-12)
 # skipped in favour of the gathered f64 oracle (same pair volume, one
 # fewer compile family; see the shortcut in _screened_visibility)
 _L2_MIN_AMB = 2048
+# gathered-oracle volume ceiling (elements = A * sum(E)): above this
+# the host-gather + ~12-field f64 tunnel upload costs more than the
+# device-resident L2 re-screen (on-chip A/B at 1024^2: 2.4M elements
+# took 10-12 s gathered vs 3.9 s re-screened; 512^2's 278k elements
+# took 0.35 s gathered — crossover sits near 1.5-2 s either way)
+_DIRECT_MAX_ELEMS = 1 << 19
+# level-2 re-screen slab size (targets per slab, angle-ordered): bounds
+# the grouped-scan window volume (A*sumE pairs — 2048 buckets at 4096^2
+# crashed the worker), tightens windows to each slab's angle range, and
+# keeps one compile family + one f64 table build across slabs
+_L2_SLAB = 8192
 
 
 def _angle_plane32(h, w, vp_row, vp_col):
@@ -1056,63 +1067,101 @@ def _screened_visibility(data_np, vp_row, vp_col, observer_elev,
             mark("reeval/full-valve")
             return visible
         if amb_idx.size <= _L2_MIN_AMB:
-            # small ambiguous sets skip the device-f64 re-screen and go
-            # STRAIGHT to the gathered f64 oracle: the oracle evaluates
-            # the same A*C*sumE pair volume the re-screen would, so for
-            # a few thousand targets the re-screen only adds a whole
-            # extra compile family (measured minutes per new static
-            # shape through the remote-compile service).  The re-screen
-            # pays off only when ambiguity is large (rugged 4096^2
-            # terrain measured 95.7k ambiguous, BENCH_NOTES r4).
+            # small ambiguous sets MAY skip the device-f64 re-screen
+            # and go straight to the gathered f64 oracle — but only
+            # when the oracle's data volume is small: the gathered path
+            # host-builds and tunnel-uploads A*sum(E) elements times
+            # ~12 f64 fields, which on chip costs ~30 MB/s end to end.
+            # At 1024^2 (amb=1318 but A*sumE=2.4M elements ~ 235 MB)
+            # the oracle measured 10-12 s warm while the L2 re-screen
+            # (device-resident f64 tables) finished in 3.9 s, bitwise
+            # equal — so the route is by volume, not by target count
+            # (on-chip A/B, BENCH_NOTES round 5).
             L = 1 << (max(int(amb_idx.size), 128) - 1).bit_length()
             sub = np.pad(amb_idx, (0, L - amb_idx.size), mode="edge")
             tperm_a, glob_a, tiers_a, A_a, C_a = _bucket_plan(
                 at32, vp_row, vp_col, min(chunk, 128), targets=sub,
                 cache=plan_cache)
-            mark(f"reeval/plan-direct amb={amb_idx.size} A={A_a} "
-                 f"sumE={sum(E for _, _, E in tiers_a)}")
-            with x64():
-                attrs_of = cell_attrs_subset_fn(
-                    data_np, vp_row, vp_col, observer_elev,
-                    target_elev, ew_res, ns_res)
-                vis_a = _run_buckets_f64_gathered(
-                    attrs_of, tperm_a, glob_a, tiers_a, A_a, C_a,
-                    mark=mark)
-            visible[tperm_a] = vis_a
-            mark("reeval")
-            return visible
-        # pad the subset to a power-of-two length quantum (stable
-        # compile shapes); edge-repeat duplicates write equal values
-        L = 1 << (max(int(amb_idx.size), 128) - 1).bit_length()
-        sub = np.pad(amb_idx, (0, L - amb_idx.size), mode="edge")
-        tperm_a, glob_i, tiers_a, A_a, C_a = _bucket_plan(
-            at32, vp_row, vp_col, min(chunk, 128), targets=sub,
-            cache=plan_cache, unify_E=True)
-        mark(f"reeval/plan amb={amb_idx.size} A={A_a} "
-             f"sumE={sum(E for _, _, E in tiers_a)}")
+            gath_elems = sum(A_a * E for _, _, E in tiers_a)
+            if gath_elems <= _DIRECT_MAX_ELEMS:
+                mark(f"reeval/plan-direct amb={amb_idx.size} A={A_a} "
+                     f"sumE={sum(E for _, _, E in tiers_a)}")
+                with x64():
+                    attrs_of = cell_attrs_subset_fn(
+                        data_np, vp_row, vp_col, observer_elev,
+                        target_elev, ew_res, ns_res)
+                    vis_a = _run_buckets_f64_gathered(
+                        attrs_of, tperm_a, glob_a, tiers_a, A_a, C_a,
+                        mark=mark)
+                visible[tperm_a] = vis_a
+                mark("reeval")
+                return visible
+            mark(f"reeval/plan-direct-skip amb={amb_idx.size} "
+                 f"gath_elems={gath_elems}")
         # level 2: re-screen the ambiguous subset in DEVICE float64
         # (exact f64 diffs, 1e-12-scale bands) — classifies everything
         # except true f64-epsilon ties, so the expensive host-f64
-        # oracle only ever sees a handful of targets
+        # oracle only ever sees a handful of targets.  The subset is
+        # processed in ANGLE-ORDERED SLABS of <= _L2_SLAB targets:
+        # the unslabbed 4096^2 plan (A=2048 buckets) crashed the TPU
+        # worker (the grouped-scan window volume scales with A*sumE —
+        # the ADVICE r4 NB-outlier hazard), while slabs bound every
+        # per-step read, tighten windows (each slab spans a narrow
+        # angle range), and share ONE f64 table build + ONE compile
+        # family via a common window width across slabs (wider windows
+        # are sound supersets — the clamp-epilogue argument).
+        order_amb = np.argsort(sc["a1"][amb_idx], kind="stable")
+        amb_sorted = amb_idx[order_amb]
+        nslab = -(-amb_sorted.size // _L2_SLAB)
+        plans = []
+        for si in range(nslab):
+            sl = amb_sorted[si * _L2_SLAB:(si + 1) * _L2_SLAB]
+            Ls = 1 << (max(int(sl.size), 128) - 1).bit_length()
+            subs = np.pad(sl, (0, Ls - sl.size), mode="edge")
+            plans.append(_bucket_plan(
+                at32, vp_row, vp_col, min(chunk, 128), targets=subs,
+                cache=plan_cache, unify_E=True))
+        E_all = max(E for _, _, tiers_p, _, _ in plans
+                    for _, _, E in tiers_p)
+        mark(f"reeval/plan amb={amb_idx.size} slabs={nslab} "
+             f"E={E_all} A={[p[3] for p in plans]}")
+        del packed  # free the level-1 f32 tables before the f64 build
+        amb2_parts = []
         with x64():
-            packed2, offs2, metas2 = _screen_build_tables(
-                sc, glob_i, sc["glob"][1], tiers_a, tier_shifts,
-                f64=True)
-            B2, rows2_np, NB2 = _group_plan(metas2, A_a, C_a)
-            vis2_d, amb2_d = _screen_run(
-                packed2, jnp.asarray(tperm_a.astype(np.int32)), None,
-                jnp.asarray(sc["d_t64"][tperm_a]),
-                tuple(jnp.asarray(r) for r in rows2_np), offs2,
-                A_a, C_a, tuple(E for _, E in metas2), NB2, B2, w,
-                jnp.int32(vp_row), jnp.int32(vp_col),
-                jnp.float64(ew_res), jnp.float64(ns_res),
-                jnp.int32(vp_row * w + vp_col), taus=_TAUS_F64)
-            vis2 = np.asarray(vis2_d).ravel()
-            amb2 = np.asarray(amb2_d).ravel()
-        visible[tperm_a] = vis2
+            packed2 = None
+            for tperm_a, glob_i, tiers_p, A_a, C_a in plans:
+                tiers_u = [(tidx, los, E_all)
+                           for tidx, los, _ in tiers_p]
+                if packed2 is None:
+                    packed2, offs2, metas2 = _screen_build_tables(
+                        sc, glob_i, sc["glob"][1], tiers_u,
+                        tier_shifts, f64=True)
+                    Ls_tab = [(offs2[i + 1] - offs2[i])
+                              for i in range(1, len(offs2) - 1)]
+                else:
+                    # tables are slab-independent — only the per-slab
+                    # window starts (metas) change
+                    metas2 = [
+                        (np.minimum(np.maximum(los, 0),
+                                    Lt - E_all).astype(np.int32),
+                         E_all)
+                        for (_, los, _), Lt in zip(tiers_u, Ls_tab)]
+                B2, rows2_np, NB2 = _group_plan(metas2, A_a, C_a)
+                vis2_d, amb2_d = _screen_run(
+                    packed2, jnp.asarray(tperm_a.astype(np.int32)),
+                    None, jnp.asarray(sc["d_t64"][tperm_a]),
+                    tuple(jnp.asarray(r) for r in rows2_np), offs2,
+                    A_a, C_a, tuple(E for _, E in metas2), NB2, B2, w,
+                    jnp.int32(vp_row), jnp.int32(vp_col),
+                    jnp.float64(ew_res), jnp.float64(ns_res),
+                    jnp.int32(vp_row * w + vp_col), taus=_TAUS_F64)
+                vis2 = np.asarray(vis2_d).ravel()
+                amb2 = np.asarray(amb2_d).ravel()
+                visible[tperm_a] = vis2
+                amb2_parts.append(tperm_a[amb2])
         mark("reeval/screen2")
 
-        amb2_idx = np.unique(tperm_a[amb2])
+        amb2_idx = np.unique(np.concatenate(amb2_parts))
         if amb2_idx.size:
             L2 = 1 << (max(int(amb2_idx.size), 128) - 1).bit_length()
             sub2 = np.pad(amb2_idx, (0, L2 - amb2_idx.size),

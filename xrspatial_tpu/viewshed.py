@@ -1,7 +1,7 @@
 """Viewshed: visible cells from an observer location.
 
 TPU-native counterpart of reference ``xrspatial/viewshed.py``.  Rasters up
-to ``_EXACT_MAX_CELLS`` (128x128) evaluate the exact GRASS r.viewshed
+to ``_EXACT_MAX_CELLS`` (1024x1024) evaluate the exact GRASS r.viewshed
 visibility predicate — the reference's radial sweep + red-black tree
 (viewshed.py:1337-1502) reformulated as angle-sorted bucket evaluation
 (kernels/viewshed_exact.py, ~N^1.5 work, float64, bit-identical to the
@@ -39,19 +39,19 @@ TARGET_ELEV = 0
 # above this cell count the default switches from the exact bucket
 # evaluation (~N^1.5 work; f32-screened f64 predicate) to the XDraw
 # approximation (O(N), float32); exact=True keeps the exact path at any
-# size.  Round-5 CLEAN on-chip measurements (single tunnel client, a
-# device->host fetch as the barrier) found the screen evaluation
-# execution-bound at scale in BOTH its batched (r4) and scanned (r5)
-# forms: warm end-to-end 0.83 s at 128^2, ~25 s at 256^2, ~15+ min at
-# 1024^2 (flat across same-process reps, zero recompiles) — and showed
-# the older "0.9 s @512^2 / 3.7 s @1024^2 / 18 s @2048^2" steady-state
-# numbers to be unreproducible (their measurement overlapped other
-# tunnel clients).  The default-exact ceiling is therefore 128^2 (the
-# largest sub-second size) until the screen's pair evaluation moves
-# into a Pallas kernel (VMEM-resident windows; see BENCH_NOTES round
-# 5); exact=True still gives the bit-exact result at any size, at the
-# documented cost.
-_EXACT_MAX_CELLS = 128 * 128
+# size.  TRUE on-chip warm costs (round 5, single tunnel client,
+# device->host fetch as the barrier, phase-timed): 0.06-0.18 s at
+# 128^2, 0.26 s at 256^2, 0.8 s at 512^2, ~4 s at 1024^2, ~14 s at
+# 2048^2.  (An earlier round-5 table claiming "25 s at 256^2 / ~990 s
+# at 1024^2, execution-bound" — which briefly lowered this ceiling to
+# 128^2 — was measured on ONE CPU CORE by accident: the profiling
+# scripts imported make_terrain from a tool that forces
+# jax_platforms=cpu at import.  BENCH_NOTES round 5 records the
+# post-mortem; tools/terrain_util.py now prevents a recurrence.)  The
+# ceiling is 1024^2: the largest size with warm cost in single-digit
+# seconds.  Cold adds a once-per-(machine, size) remote-compile wave
+# (~1-4 min), served from the persistent compilation cache afterwards.
+_EXACT_MAX_CELLS = 1024 * 1024
 
 
 def viewshed(raster: DataArray,
@@ -77,12 +77,12 @@ def viewshed(raster: DataArray,
         ``True`` forces the exact GRASS predicate (angle-sorted bucket
         evaluation, ~N^1.5 work, float64) at any size; ``False`` forces
         the XDraw octant-scan approximation; ``None`` (default) selects
-        by size (exact up to 128x128 cells — see the _EXACT_MAX_CELLS
-        note for the round-5 measurements behind this ceiling).
+        by size (exact up to 1024x1024 cells — see the _EXACT_MAX_CELLS
+        note for the round-5 on-chip measurements behind this ceiling).
 
     Notes
     -----
-    Rasters with at most 128x128 cells use the exact GRASS predicate
+    Rasters with at most 1024x1024 cells use the exact GRASS predicate
     (angular spans + interpolated gradients, float64 decisions behind a
     sound float32 interval screen), computed by the angle-sorted bucket
     formulation in kernels/viewshed_exact.py — bit-identical to the
